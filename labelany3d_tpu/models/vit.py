@@ -1,0 +1,219 @@
+"""DINOv2-style Vision Transformer encoder (Flax).
+
+The backbone family behind every perception model in the labeling pipeline
+(MoGe and DepthPro encoders, MASt3R's two-view encoder, TRELLIS's DINOv2
+conditioner — see SURVEY.md §2C). Written TPU-first:
+
+  * attention through `jax.nn.dot_product_attention` (lowers to the fused
+    TPU attention path; no handwritten softmax chains for XLA to re-fuse);
+  * bfloat16 activations/params by default with float32 layernorm/softmax
+    accumulation — MXU-native;
+  * static shapes per resolution bucket; position embeddings are resized
+    once per bucket (bicubic, antialiased, matching DINOv2's interpolation
+    semantics) at parameter-load time rather than per call;
+  * tensor-parallel friendly: attention heads and MLP hidden dim are the
+    natural shard axes; see `labelany3d_tpu.parallel.sharding` for rules.
+
+Weight-conversion note: the layer layout (patch embed, cls + register
+tokens, pre-norm blocks with LayerScale, SwiGLU-or-GELU MLP) matches
+DINOv2 checkpoints module-for-module so torch weights map by name; see
+`labelany3d_tpu/models/convert.py`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 14
+    width: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    num_register_tokens: int = 0
+    use_class_token: bool = True
+    layerscale_init: float | None = 1e-5
+    swiglu: bool = False
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    out_indices: Sequence[int] = ()  # intermediate block outputs to return
+
+    @staticmethod
+    def small(**kw) -> "ViTConfig":
+        return ViTConfig(width=384, depth=12, num_heads=6, **kw)
+
+    @staticmethod
+    def base(**kw) -> "ViTConfig":
+        return ViTConfig(width=768, depth=12, num_heads=12, **kw)
+
+    @staticmethod
+    def large(**kw) -> "ViTConfig":
+        return ViTConfig(width=1024, depth=24, num_heads=16, **kw)
+
+    @staticmethod
+    def giant(**kw) -> "ViTConfig":
+        return ViTConfig(width=1536, depth=40, num_heads=24, swiglu=True, **kw)
+
+    @staticmethod
+    def tiny_test(**kw) -> "ViTConfig":
+        """Small config for unit tests / dry runs."""
+        return ViTConfig(width=64, depth=2, num_heads=2, patch_size=8, **kw)
+
+
+class Mlp(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        hidden = int(cfg.width * cfg.mlp_ratio)
+        if cfg.swiglu:
+            # DINOv2-giant SwiGLU ffn: hidden rounded as in the reference impl.
+            hidden = (int(hidden * 2 / 3) + 7) // 8 * 8
+            x12 = nn.Dense(2 * hidden, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="w12")(x)
+            x1, x2 = jnp.split(x12, 2, axis=-1)
+            x = nn.silu(x1) * x2
+            return nn.Dense(cfg.width, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="w3")(x)
+        x = nn.Dense(hidden, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(cfg.width, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(x)
+
+
+class Attention(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        head_dim = cfg.width // cfg.num_heads
+        qkv = nn.Dense(3 * cfg.width, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(t.shape[:-1] + (cfg.num_heads, head_dim))
+
+        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+        out = out.reshape(x.shape[:-1] + (cfg.width,))
+        return nn.Dense(cfg.width, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="proj")(out)
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init_value: float
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma", lambda k, s: jnp.full(s, self.init_value, self.param_dtype), (self.dim,)
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=cfg.param_dtype, name="norm1")(x)
+        h = Attention(cfg, name="attn")(h.astype(cfg.dtype))
+        if cfg.layerscale_init is not None:
+            h = LayerScale(cfg.width, cfg.layerscale_init, cfg.param_dtype, name="ls1")(h)
+        x = x + h
+        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=cfg.param_dtype, name="norm2")(x)
+        h = Mlp(cfg, name="mlp")(h.astype(cfg.dtype))
+        if cfg.layerscale_init is not None:
+            h = LayerScale(cfg.width, cfg.layerscale_init, cfg.param_dtype, name="ls2")(h)
+        return x + h
+
+
+class ViT(nn.Module):
+    """Patchify -> transformer; returns final and requested block outputs.
+
+    Input: (B, H, W, 3) images (any H, W divisible by patch_size within a
+    bucket). Output dict:
+      tokens      (B, N, C) final-norm patch tokens (no cls/registers)
+      cls         (B, C) class token (if enabled)
+      grid        (h, w) token grid shape
+      hiddens     list of (B, N, C) pre-norm outputs at cfg.out_indices
+    """
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> dict:
+        cfg = self.cfg
+        b, h, w, _ = images.shape
+        gh, gw = h // cfg.patch_size, w // cfg.patch_size
+
+        x = nn.Conv(
+            cfg.width,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+            name="patch_embed",
+        )(images.astype(cfg.dtype))
+        x = x.reshape(b, gh * gw, cfg.width)
+
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02, dtype=jnp.float32),
+            (1, gh, gw, cfg.width),
+        )
+        x = x + pos.reshape(1, gh * gw, cfg.width).astype(cfg.dtype)
+
+        n_prefix = 0
+        prefix_tokens = []
+        if cfg.use_class_token:
+            cls = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.width))
+            prefix_tokens.append(jnp.broadcast_to(cls.astype(cfg.dtype), (b, 1, cfg.width)))
+            n_prefix += 1
+        if cfg.num_register_tokens:
+            reg = self.param(
+                "register_tokens", nn.initializers.zeros,
+                (1, cfg.num_register_tokens, cfg.width),
+            )
+            prefix_tokens.append(
+                jnp.broadcast_to(reg.astype(cfg.dtype), (b, cfg.num_register_tokens, cfg.width))
+            )
+            n_prefix += cfg.num_register_tokens
+        if prefix_tokens:
+            x = jnp.concatenate(prefix_tokens + [x], axis=1)
+
+        hiddens = []
+        want = set(i % cfg.depth for i in cfg.out_indices)
+        for i in range(cfg.depth):
+            x = Block(cfg, name=f"block{i}")(x)
+            if i in want:
+                hiddens.append(x[:, n_prefix:])
+
+        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=cfg.param_dtype, name="norm")(x)
+        out = {
+            "tokens": x[:, n_prefix:].astype(cfg.dtype),
+            "grid": (gh, gw),
+            "hiddens": hiddens,
+        }
+        if cfg.use_class_token:
+            out["cls"] = x[:, 0].astype(cfg.dtype)
+        return out
+
+
+def resize_pos_embed(pos: jnp.ndarray, new_gh: int, new_gw: int) -> jnp.ndarray:
+    """Bicubic position-embedding interpolation between resolution buckets.
+
+    (1, gh, gw, C) -> (1, new_gh, new_gw, C); mirrors DINOv2's antialiased
+    bicubic interpolation (reference behavior noted at SURVEY.md §7 hard
+    part 4).
+    """
+    return jax.image.resize(
+        pos, (1, new_gh, new_gw, pos.shape[-1]), method="bicubic", antialias=True
+    )
