@@ -1,0 +1,137 @@
+"""Model backends for pipeline stages (real Flax models or analytic fakes).
+
+The stage code talks to a small protocol (`DepthBackend.infer`) and the
+registry decides which implementation serves it — mirroring the reference's
+wrapper indirection (`src/model_wrappers.py`) while making every backend
+swappable in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from labelany3d_tpu.models.depth_pro import DepthProConfig, DepthProModel, depth_pro_infer
+from labelany3d_tpu.models.moge import (
+    MoGeConfig,
+    MoGeModel,
+    moge_infer,
+    pixel_intrinsics_from_normalized,
+)
+from labelany3d_tpu.models.registry import register_model
+from labelany3d_tpu.models.vit import ViTConfig
+
+
+class DepthBackend(Protocol):
+    """Batch depth inference: (B, H, W, 3) float images in [0, 1] ->
+    dict(relative_depth, metric_depth, depth_mask, K_pixels)."""
+
+    def infer(self, images: np.ndarray) -> dict: ...
+
+
+class JaxDepthBackend:
+    """MoGe (relative depth + intrinsics) -> DepthPro (metric, conditioned
+    on MoGe's focal). One jitted program per resolution bucket.
+
+    Stage-1 parity (`src/batch_scripts/depth.py:144-153`): MoGe recovers
+    K; DepthPro gets f_px = K[0,0]; the caller aligns the two maps.
+    """
+
+    def __init__(
+        self,
+        moge_cfg: MoGeConfig | None = None,
+        depth_pro_cfg: DepthProConfig | None = None,
+        params_moge=None,
+        params_depth_pro=None,
+        seed: int = 0,
+    ):
+        self.moge_cfg = moge_cfg or MoGeConfig()
+        self.dp_cfg = depth_pro_cfg or DepthProConfig()
+        self.moge = MoGeModel(self.moge_cfg)
+        self.depth_pro = DepthProModel(self.dp_cfg)
+        self._params_moge = params_moge
+        self._params_dp = params_depth_pro
+        self._seed = seed
+        self._jitted = {}
+
+    def _ensure_params(self, h: int, w: int):
+        if self._params_moge is None:
+            k = jax.random.PRNGKey(self._seed)
+            self._params_moge = self.moge.init(k, jnp.zeros((1, h, w, 3)))["params"]
+        if self._params_dp is None:
+            k = jax.random.PRNGKey(self._seed + 1)
+            self._params_dp = self.depth_pro.init(k, jnp.zeros((1, h, w, 3)))["params"]
+
+    def _step(self, h: int, w: int):
+        if (h, w) in self._jitted:
+            return self._jitted[(h, w)]
+
+        def step(pm, pd, images):
+            m = moge_infer(self.moge, pm, images, apply_mask=True)
+            K_pix = pixel_intrinsics_from_normalized(m["intrinsics"], w, h)
+            f_px = K_pix[:, 0, 0]
+            d = depth_pro_infer(self.depth_pro, pd, images, f_px=f_px)
+            return {
+                "relative_depth": m["depth"],
+                "metric_depth": d["depth"],
+                "depth_mask": m["mask"],
+                "K_pixels": K_pix,
+            }
+
+        fn = jax.jit(step)
+        self._jitted[(h, w)] = fn
+        return fn
+
+    def infer(self, images: np.ndarray) -> dict:
+        b, h, w, _ = images.shape
+        self._ensure_params(h, w)
+        out = self._step(h, w)(self._params_moge, self._params_dp, jnp.asarray(images, jnp.float32))
+        return out
+
+
+class FakeDepthBackend:
+    """Analytic backend for hermetic tests: the caller pre-registers the
+    true depth/K for each image (by index order of `infer` calls' rows)."""
+
+    def __init__(self, depths: np.ndarray, K: np.ndarray, relative_scale: float = 0.5):
+        self.depths = np.asarray(depths, np.float32)  # (N, H, W) truth
+        self.K = np.asarray(K, np.float32)
+        self.relative_scale = relative_scale
+        self._cursor = 0
+
+    def infer(self, images: np.ndarray) -> dict:
+        b = images.shape[0]
+        sel = self.depths[self._cursor : self._cursor + b]
+        self._cursor += b
+        K = np.broadcast_to(self.K, (b, 3, 3))
+        return {
+            "relative_depth": jnp.asarray(sel * self.relative_scale),
+            "metric_depth": jnp.asarray(sel),
+            "depth_mask": jnp.ones_like(jnp.asarray(sel), bool),
+            "K_pixels": jnp.asarray(K),
+        }
+
+
+def register_default_backends() -> None:
+    """Install the production factories under their registry keys."""
+
+    def make_depth(preset: str = "large", **kw):
+        if preset == "tiny_test":
+            return JaxDepthBackend(MoGeConfig.tiny_test(), DepthProConfig.tiny_test())
+        backbone = {
+            "small": ViTConfig.small,
+            "base": ViTConfig.base,
+            "large": ViTConfig.large,
+        }[preset]
+        return JaxDepthBackend(
+            MoGeConfig(backbone=backbone(out_indices=(5, 11, 17, 23) if preset == "large" else (2, 5, 8, 11))),
+            DepthProConfig(backbone=backbone()),
+        )
+
+    try:
+        register_model("depth", make_depth)
+    except ValueError:
+        pass

@@ -1,0 +1,133 @@
+"""Config system: YAML base + dotted CLI overrides (OmegaConf-style merge).
+
+Parity target: every reference stage does
+`OmegaConf.merge(OmegaConf.load(yaml), OmegaConf.from_cli(extras))`
+(`src/batch_scripts/depth.py:104-105`) over `src/configs/image.yaml`.
+OmegaConf is not available in this image; this module provides the same
+ergonomics: nested-dict config with attribute access, `a.b.c=value` CLI
+overrides with YAML-typed scalars.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+from typing import Any
+
+import yaml
+
+
+class ConfigNode(dict):
+    """Dict with attribute access and recursive wrapping."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            v = self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+        return v
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = _wrap(value)
+
+
+def _wrap(value: Any) -> Any:
+    if isinstance(value, dict) and not isinstance(value, ConfigNode):
+        return ConfigNode({k: _wrap(v) for k, v in value.items()})
+    return value
+
+
+def _merge(base: dict, override: dict) -> dict:
+    out = dict(base)
+    for k, v in override.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def parse_cli_overrides(extras: list[str]) -> dict:
+    """['a.b=1', 'c=true'] -> nested dict with YAML-typed values."""
+    out: dict = {}
+    for item in extras:
+        if "=" not in item:
+            raise ValueError(f"Override must be key=value, got: {item}")
+        key, raw = item.split("=", 1)
+        value = yaml.safe_load(raw) if raw != "" else None
+        node = out
+        parts = key.strip().split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return out
+
+
+DEFAULT_CONFIG: dict = {
+    # Mirrors src/configs/image.yaml:1-31 semantics.
+    "scene": {
+        "type": "InTheWild",
+        "attributes": {"img_path": None},
+    },
+    "run": {
+        "amodal_completion": "our",    # 'our' | None
+        "obj_rec": "trellis",           # 'trellis' | 'hunyuan3d'
+        "segmentation": "coconut",      # 'coconut' | 'entityv2' (wild mode)
+        "depth": "moge+depthpro",
+        "bbox_method": "pca",           # 'pca' | 'minarea'
+    },
+    "compute": {
+        "batch_size": 8,                # images per device step
+        "max_instances": 16,            # padded instance slots per image
+        "num_points": 512,              # per-instance point budget
+        "image_height": 512,            # resolution bucket
+        "image_width": 512,
+        "mesh": {"data": -1},          # -1 = all local devices
+        "dtype": "bfloat16",
+        "seed": 0,
+    },
+    "models": {
+        "moge": {"preset": "large"},
+        "depth_pro": {"preset": "large", "input_size": 768},
+        "use_fakes": False,             # tests flip this on
+    },
+}
+
+
+def load_config(path: str | None = None, overrides: list[str] | None = None) -> "ConfigNode":
+    cfg = copy.deepcopy(DEFAULT_CONFIG)
+    if path is not None:
+        with open(path) as f:
+            file_cfg = yaml.safe_load(f) or {}
+        cfg = _merge(cfg, file_cfg)
+    if overrides:
+        cfg = _merge(cfg, parse_cli_overrides(overrides))
+    return _wrap(cfg)
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    """Typed view of the compute-critical knobs."""
+
+    batch_size: int = 8
+    max_instances: int = 16
+    num_points: int = 512
+    image_height: int = 512
+    image_width: int = 512
+    bbox_method: str = "pca"
+    seed: int = 0
+    use_fakes: bool = False
+
+    @staticmethod
+    def from_node(cfg: ConfigNode) -> "PipelineConfig":
+        c = cfg.compute
+        return PipelineConfig(
+            batch_size=int(c.batch_size),
+            max_instances=int(c.max_instances),
+            num_points=int(c.num_points),
+            image_height=int(c.image_height),
+            image_width=int(c.image_width),
+            bbox_method=str(cfg.run.bbox_method),
+            seed=int(c.seed),
+            use_fakes=bool(cfg.models.use_fakes),
+        )

@@ -1,0 +1,108 @@
+"""Depth-driven 3D box stage (the geometric core of stage 7, batched).
+
+Produces `3dbbox.json` + `bboxes.json` for each scene directly from the
+aligned depth map and the COCONUT instance masks — the depth-only labeling
+fast path (SURVEY.md §7 "minimum end-to-end slice"). The full generative
+path (mesh reconstruction + MASt3R registration) upgrades per-object
+`canonical_upright` vectors and mesh-sampled points; this stage accepts both
+(mesh-backed points can be fed through the same `label_instances` program).
+
+Output schema parity: `src/util_3dbox.py:283-289` — per object
+{obj_id, category_name, center_cam, R_cam, dimensions, bbox3D_cam}.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from labelany3d_tpu.data.coconut import read_instances, xywh_to_xyxy
+from labelany3d_tpu.pipeline.config import PipelineConfig
+from labelany3d_tpu.pipeline.labeling import label_instances
+from labelany3d_tpu.pipeline.scene import SceneDir, scene_dir_name
+from labelany3d_tpu.pipeline.stages.common import pad_instances, resize_nearest
+
+
+class BoxStage:
+    def __init__(self, cfg: PipelineConfig, loader, save_dir: str, split: str):
+        self.cfg = cfg
+        self.loader = loader
+        self.save_dir = save_dir
+        self.split = split
+        self._key = jax.random.PRNGKey(cfg.seed + 7)
+        self._step = jax.jit(
+            lambda depth, K, masks, key: label_instances(
+                depth, K, masks, key,
+                num_points=cfg.num_points, method=cfg.bbox_method,
+            )
+        )
+
+    def _scene(self, image_info: dict) -> SceneDir:
+        name = scene_dir_name(image_info["file_name"])
+        return SceneDir(os.path.join(self.save_dir, self.split, name)).ensure()
+
+    def run(self, start_index: int, end_index: int) -> int:
+        cfg = self.cfg
+        pending = []  # (scene, labels, bboxes_xyxy, depth, K, masks_padded, kept)
+        done = 0
+
+        def flush():
+            nonlocal done
+            if not pending:
+                return
+            depth = np.stack([p[3] for p in pending])
+            K = np.stack([p[4] for p in pending])
+            masks = np.stack([p[5] for p in pending])
+            self._key, sub = jax.random.split(self._key)
+            out = self._step(depth, K, masks, sub)
+            boxes = jax.tree_util.tree_map(np.asarray, out.boxes)
+            for row, (scene, labels, bboxes_xyxy, *_rest, kept) in enumerate(pending):
+                bbox_list = []
+                for i, label in enumerate(labels):
+                    if i >= cfg.max_instances or not kept[i] or not boxes.ok[row, i]:
+                        continue
+                    bbox_list.append(
+                        {
+                            "obj_id": str(i),
+                            "category_name": label.replace(" ", "_"),
+                            "center_cam": boxes.center_cam[row, i].tolist(),
+                            "R_cam": boxes.R_cam[row, i].tolist(),
+                            "dimensions": boxes.dimensions[row, i].tolist(),
+                            "bbox3D_cam": boxes.vertices[row, i].tolist(),
+                        }
+                    )
+                scene.write_bbox3d(bbox_list)
+                scene.write_bboxes2d(bboxes_xyxy)
+                done += 1
+            pending.clear()
+
+        for idx in range(start_index, end_index):
+            info = self.loader.get_image_by_index(idx)
+            scene = self._scene(info)
+            if scene.boxes_done() or not scene.depth_done():
+                continue
+            annos = self.loader.get_annotations(info["id"])
+            inst = read_instances(annos, (info["width"], info["height"]))
+            if len(inst) == 0:
+                continue
+            depth = scene.read_depth()
+            cam = scene.read_cam_params()
+            K = np.asarray(cam["K"], np.float32)
+            oh, ow = depth.shape
+            # Resolution bucket for the device program.
+            bh, bw = cfg.image_height, cfg.image_width
+            depth_b = resize_nearest(depth, bh, bw).astype(np.float32)
+            masks_b = resize_nearest(inst.masks, bh, bw)
+            K_b = K.copy()
+            K_b[0] *= bw / ow
+            K_b[1] *= bh / oh
+            masks_p, kept = pad_instances(masks_b, cfg.max_instances)
+            pending.append(
+                (scene, inst.labels, xywh_to_xyxy(inst.bboxes), depth_b, K_b, masks_p, kept)
+            )
+            if len(pending) == cfg.batch_size:
+                flush()
+        flush()
+        return done

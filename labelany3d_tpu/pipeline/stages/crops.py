@@ -1,0 +1,110 @@
+"""Stage 3: per-instance square crops + crop params.
+
+Parity target: `src/batch_scripts/get_crops_enhanced.py` — filter COCONUT
+instances, 7x7 binary opening, 6400-px minimum, square padded crops at 512
+from the (4x enhanced) image, crop params divided back to original coords,
+`bboxes.json` with the selected XYXY boxes.
+
+This implementation crops from the *original* image by default (enhancement
+is a pluggable registry backend; when an enhanced image exists in the scene
+dir it is used with the reference's 4x coordinate bookkeeping).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from labelany3d_tpu.data.coconut import read_instances, xywh_to_xyxy
+from labelany3d_tpu.geometry.crops import crop_object_params, crop_resample
+from labelany3d_tpu.geometry.masks import binary_opening, upscale_mask_nearest
+from labelany3d_tpu.pipeline.config import PipelineConfig
+from labelany3d_tpu.pipeline.scene import SceneDir, scene_dir_name
+from labelany3d_tpu.pipeline.stages.common import ImageSource
+
+
+class CropStage:
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        loader,
+        image_source: ImageSource,
+        save_dir: str,
+        split: str,
+        crop_size: int = 512,
+        min_mask_pixels: int = 6400,
+    ):
+        self.cfg = cfg
+        self.loader = loader
+        self.image_source = image_source
+        self.save_dir = save_dir
+        self.split = split
+        self.crop_size = crop_size
+        self.min_mask_pixels = min_mask_pixels
+
+    def run(self, start_index: int, end_index: int) -> int:
+        from PIL import Image
+
+        done = 0
+        for idx in range(start_index, end_index):
+            info = self.loader.get_image_by_index(idx)
+            name = scene_dir_name(info["file_name"])
+            scene = SceneDir(os.path.join(self.save_dir, self.split, name)).ensure()
+            annos = self.loader.get_annotations(info["id"])
+            inst = read_instances(annos, (info["width"], info["height"]))
+            if len(inst) == 0:
+                continue
+
+            use_enhanced = scene.enhanced_image.exists()
+            if use_enhanced:
+                image = np.asarray(Image.open(scene.enhanced_image).convert("RGB"))
+                factor = 4  # reference upscales masks 4x to the enhanced res
+            else:
+                image = self.image_source.get(info)
+                factor = 1
+
+            bboxes_xyxy = xywh_to_xyxy(inst.bboxes)
+            selected = []
+            # Reference iterates instances in reverse (`get_crops_enhanced.py:85`).
+            for i in range(len(inst) - 1, -1, -1):
+                label = inst.labels[i].replace(" (", ", ").replace(")", "")
+                obj_id = f"{i}_{label.replace(' ', '_')}"
+                mask = inst.masks[i]
+                if factor > 1:
+                    mask = np.asarray(upscale_mask_nearest(jnp.asarray(mask), factor))
+                mask = np.asarray(binary_opening(jnp.asarray(mask), size=7))
+                if mask.sum() < self.min_mask_pixels * (factor * factor) / 16:
+                    # 6400 px threshold is defined at 4x; scale for 1x crops.
+                    continue
+                selected.append(bboxes_xyxy[i])
+                if scene.crops_done(obj_id):
+                    continue
+                params = crop_object_params(jnp.asarray(mask), crop_size=self.crop_size)
+                rgb, mcrop = crop_resample(
+                    jnp.asarray(image, jnp.float32), jnp.asarray(mask), params, self.crop_size
+                )
+                rgba = np.concatenate(
+                    [
+                        np.clip(np.asarray(rgb), 0, 255).astype(np.uint8),
+                        (np.asarray(mcrop)[..., None] * 255).astype(np.uint8),
+                    ],
+                    axis=-1,
+                )
+                Image.fromarray(rgba).save(scene.crop(obj_id))
+                # Params stored in original-image coordinates (divide by the
+                # enhancement factor, `get_crops_enhanced.py:98`).
+                np.save(
+                    scene.crop_params(obj_id),
+                    np.array(
+                        [
+                            float(params.offset_x) / factor,
+                            float(params.offset_y) / factor,
+                            float(params.scale) * factor,
+                        ]
+                    ),
+                )
+            scene.write_bboxes2d(np.asarray(selected, np.float64))
+            done += 1
+        return done

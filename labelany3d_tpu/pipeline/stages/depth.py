@@ -1,0 +1,95 @@
+"""Stage 1: depth estimation + RANSAC alignment (batched on device).
+
+Parity target: `src/batch_scripts/depth.py` — per image: MoGe relative depth
+and intrinsics, DepthPro metric depth conditioned on MoGe's focal, RANSAC
+alignment, then `depth_map.npy` / `cam_params.json` / `input.png` artifacts
+and skip-if-exists resume.
+
+TPU-first: images are processed in fixed-size batches at a resolution
+bucket; the model forward passes and the RANSAC alignment are one jitted
+program per bucket. Only artifact IO is per-image host work.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from labelany3d_tpu.pipeline.backends import DepthBackend
+from labelany3d_tpu.pipeline.config import PipelineConfig
+from labelany3d_tpu.pipeline.labeling import depth_fusion
+from labelany3d_tpu.pipeline.scene import SceneDir, scene_dir_name
+from labelany3d_tpu.pipeline.stages.common import ImageSource, resize_image, resize_nearest
+
+
+class DepthStage:
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        backend: DepthBackend,
+        loader,
+        image_source: ImageSource,
+        save_dir: str,
+        split: str,
+    ):
+        self.cfg = cfg
+        self.backend = backend
+        self.loader = loader
+        self.image_source = image_source
+        self.save_dir = save_dir
+        self.split = split
+        self._key = jax.random.PRNGKey(cfg.seed)
+
+    def _scene(self, image_info: dict) -> SceneDir:
+        name = scene_dir_name(image_info["file_name"])
+        return SceneDir(os.path.join(self.save_dir, self.split, name)).ensure()
+
+    def run(self, start_index: int, end_index: int) -> int:
+        """Process [start_index, end_index); returns #images computed."""
+        cfg = self.cfg
+        pending: list[tuple[dict, SceneDir, np.ndarray]] = []
+        done = 0
+
+        def flush():
+            nonlocal done
+            if not pending:
+                return
+            batch = np.stack(
+                [resize_image(img, cfg.image_height, cfg.image_width) for _, _, img in pending]
+            ).astype(np.float32) / 255.0
+            out = self.backend.infer(batch)
+            self._key, sub = jax.random.split(self._key)
+            aligned = depth_fusion(
+                out["relative_depth"], out["metric_depth"], out["depth_mask"], sub
+            )
+            aligned = np.asarray(aligned)
+            K_bucket = np.asarray(out["K_pixels"])
+            for row, (info, scene, img) in enumerate(pending):
+                oh, ow = img.shape[:2]
+                depth_full = resize_nearest(aligned[row], oh, ow)
+                sy, sx = oh / cfg.image_height, ow / cfg.image_width
+                K = K_bucket[row].copy()
+                K[0] *= sx
+                K[1] *= sy
+                scene.write_depth(depth_full)
+                scene.write_cam_params(K, np.eye(4), ow, oh)
+                if not scene.input_image.exists():
+                    from PIL import Image
+
+                    Image.fromarray(img).save(scene.input_image)
+                done += 1
+            pending.clear()
+
+        for i in range(start_index, end_index):
+            info = self.loader.get_image_by_index(i)
+            scene = self._scene(info)
+            if scene.depth_done():
+                continue
+            img = self.image_source.get(info)
+            pending.append((info, scene, img))
+            if len(pending) == cfg.batch_size:
+                flush()
+        flush()
+        return done
