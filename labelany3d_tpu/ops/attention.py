@@ -1,0 +1,143 @@
+"""Sparse-voxel attention patterns (TRELLIS serialized/windowed equivalent).
+
+Parity targets in the reference tree:
+  * serialized attention — active voxels ordered along a space-filling
+    curve, partitioned into fixed windows with sequence shift, run as
+    varlen flash-attn (`external/TRELLIS/trellis/modules/sparse/attention/
+    serialized_attn.py:21-180`, CUDA codes from vox2seq);
+  * shifted 3D window attention (`windowed_attn.py:20-110`).
+
+TPU-native: both become *static-shape gather -> fused SDPA -> scatter*
+programs. Serialized windows are equal-sized by construction (pad to a
+window multiple); spatial windows get fixed occupancy slots (bounded
+points-per-window, overflow dropped with a mask — TRELLIS's varlen
+flash-attn is replaced by masked dense windows, which is MXU-dense and
+static). `jax.nn.dot_product_attention` lowers to the fused TPU attention.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from labelany3d_tpu.ops.morton import hilbert_encode_3d, morton_encode_3d
+
+
+def _sdpa(q, k, v, mask=None):
+    # q/k/v: (B, S, H, D); mask (B, 1, S, S) boolean or None.
+    return jax.nn.dot_product_attention(q, k, v, mask=mask)
+
+
+def serialized_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
+    window_size: int = 512,
+    shift: int = 0,
+    curve: str = "z_order",
+) -> jnp.ndarray:
+    """Space-filling-curve windowed attention over sparse voxels.
+
+    Args:
+      q, k, v: (N, H, D) per-voxel heads (N = padded voxel slots).
+      coords: (N, 3) int voxel coordinates.
+      valid: (N,) real-voxel flags.
+      window_size: tokens per attention window.
+      shift: sequence shift (TRELLIS rotates the serialized order between
+        layers, `serialized_attn.py` shift_sequence).
+      curve: 'z_order' | 'hilbert'.
+
+    Returns (N, H, D) attended values in the original voxel order.
+    """
+    n, h, d = q.shape
+    code = morton_encode_3d(coords) if curve == "z_order" else hilbert_encode_3d(coords)
+    # Push padding slots to the end of the serialization.
+    sort_key = jnp.where(valid, code, jnp.int32(2**30))
+    order = jnp.argsort(sort_key)
+    inv = jnp.argsort(order)
+
+    def serialize(t):
+        s = t[order]
+        if shift:
+            s = jnp.roll(s, -shift, axis=0)
+        return s
+
+    pad = (-n) % window_size
+    def window(t):
+        t = serialize(t)
+        t = jnp.pad(t, ((0, pad),) + ((0, 0),) * (t.ndim - 1))
+        return t.reshape(-1, window_size, *t.shape[1:])
+
+    qw, kw, vw = window(q), window(k), window(v)
+    vmask = window(valid.astype(jnp.int32))[..., 0] if valid.ndim > 1 else window(valid)
+    vmask = vmask.astype(bool)  # (B, W)
+    attn_mask = vmask[:, None, None, :] & vmask[:, None, :, None]  # (B,1,W,W)
+    out = _sdpa(qw, kw, vw, mask=attn_mask)
+    out = out.reshape(-1, h, d)[:n]
+    if shift:
+        out = jnp.roll(out, shift, axis=0)
+    return out[inv]
+
+
+def windowed_attention_3d(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
+    grid_size: int,
+    window_size: int = 8,
+    shift: int = 0,
+    max_per_window: int = 512,
+) -> jnp.ndarray:
+    """Shifted 3D spatial window attention over sparse voxels.
+
+    Voxels attend within their (window_size^3) spatial cell (optionally
+    shifted by `shift` along each axis). Each cell gets `max_per_window`
+    static slots; overflow voxels fall back to identity (v passthrough).
+    """
+    n, h, d = q.shape
+    shifted = coords + shift
+    wcoord = shifted // window_size
+    w_per_axis = (grid_size + window_size - 1) // window_size + (1 if shift else 0)
+    wid = (
+        wcoord[:, 0] * w_per_axis * w_per_axis + wcoord[:, 1] * w_per_axis + wcoord[:, 2]
+    ).astype(jnp.int32)
+    num_windows = w_per_axis**3
+
+    wid = jnp.where(valid, wid, num_windows)  # padding slots -> overflow bin
+    order = jnp.argsort(wid)
+    sorted_wid = wid[order]
+    # Rank within each window: position minus index of the window's first
+    # element in the sorted array.
+    first_idx = jnp.searchsorted(sorted_wid, sorted_wid, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first_idx.astype(jnp.int32)
+
+    in_slot = (rank < max_per_window) & (sorted_wid < num_windows)
+    slot = jnp.where(in_slot, sorted_wid * max_per_window + rank, num_windows * max_per_window)
+
+    def scatter(t):
+        buf = jnp.zeros((num_windows * max_per_window + 1,) + t.shape[1:], t.dtype)
+        return buf.at[slot].set(t[order], mode="drop")
+
+    qs = scatter(q)[:-1].reshape(num_windows, max_per_window, h, d)
+    ks = scatter(k)[:-1].reshape(num_windows, max_per_window, h, d)
+    vs = scatter(v)[:-1].reshape(num_windows, max_per_window, h, d)
+    occ = jnp.zeros((num_windows * max_per_window + 1,), bool).at[slot].set(in_slot, mode="drop")
+    occ = occ[:-1].reshape(num_windows, max_per_window)
+    mask = occ[:, None, None, :] & occ[:, None, :, None]
+    # Guard fully-empty windows (softmax over -inf rows) by opening the
+    # diagonal.
+    eye = jnp.eye(max_per_window, dtype=bool)[None, None]
+    out_w = _sdpa(qs, ks, vs, mask=mask | eye)
+
+    # Gather back to sorted order, then invert the sort; overflow voxels
+    # pass v through unchanged.
+    flat = out_w.reshape(num_windows * max_per_window, h, d)
+    flat = jnp.concatenate([flat, jnp.zeros((1, h, d), flat.dtype)], axis=0)
+    sorted_out = flat[jnp.where(in_slot, slot, num_windows * max_per_window)]
+    sorted_out = jnp.where(in_slot[:, None, None], sorted_out, v[order])
+    inv = jnp.argsort(order)
+    return sorted_out[inv]
