@@ -1,0 +1,86 @@
+"""Multi-view mesh renderer for the registration loop.
+
+Parity target: `src/matching/renderer.py:19-106` (GLBRenderer) — 8 orbit
+views at distance 1.5, fixed intrinsics, albedo shading, per-view (rgb,
+depth, R, T). PyTorch3D's CUDA rasterizer is replaced by the tiled jnp
+rasterizer (`ops.rasterize`), jitted once per (V, F) bucket and vmapped over
+views.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from labelany3d_tpu.data.meshio import Mesh
+from labelany3d_tpu.ops.rasterize import rasterize_mesh, shade_vertex_colors
+from labelany3d_tpu.registration.cameras import (
+    RENDER_DISTANCE,
+    RENDER_K,
+    RENDER_SIZE,
+    opencv_orbit_pose,
+)
+
+
+class RenderedView(NamedTuple):
+    rgba: np.ndarray    # (H, W, 4) float in [0, 1]
+    depth: np.ndarray   # (H, W), -1 background
+    R: np.ndarray       # (3, 3) world->camera
+    t: np.ndarray       # (3,)
+
+
+class OrbitRenderer:
+    """Renders a mesh from orbit viewpoints (and arbitrary poses)."""
+
+    def __init__(self, image_size: int = RENDER_SIZE, K: np.ndarray | None = None,
+                 faces_per_tile: int = 512):
+        self.image_size = image_size
+        self.K = RENDER_K if K is None else np.asarray(K, np.float32)
+        self.faces_per_tile = faces_per_tile
+        self._jitted = {}
+
+    def _render_fn(self, num_faces: int, image_size: tuple[int, int], K):
+        key = (num_faces, image_size, tuple(np.asarray(K).ravel().tolist()))
+        if key in self._jitted:
+            return self._jitted[key]
+
+        Kj = jnp.asarray(K, jnp.float32)
+
+        @jax.jit
+        def render(verts, faces, colors_or_none, R, t):
+            cam = verts @ R.T + t
+            out = rasterize_mesh(
+                cam, faces, Kj, image_size, faces_per_tile=self.faces_per_tile
+            )
+            rgba = shade_vertex_colors(out, faces, colors_or_none)
+            return rgba, out.depth
+
+        self._jitted[key] = render
+        return render
+
+    def render_pose(
+        self, mesh: Mesh, R: np.ndarray, t: np.ndarray,
+        image_size: tuple[int, int] | None = None, K: np.ndarray | None = None,
+    ) -> RenderedView:
+        size = image_size or (self.image_size, self.image_size)
+        Kn = self.K if K is None else K
+        fn = self._render_fn(len(mesh.faces), tuple(size), Kn)
+        colors = None if mesh.colors is None else jnp.asarray(mesh.colors)
+        rgba, depth = fn(
+            jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces), colors,
+            jnp.asarray(R), jnp.asarray(t),
+        )
+        return RenderedView(np.asarray(rgba), np.asarray(depth), np.asarray(R), np.asarray(t))
+
+    def render_orbit_views(
+        self, mesh: Mesh, elevations, azimuths, radius: float = RENDER_DISTANCE
+    ) -> list[RenderedView]:
+        """Parity: `renderer.py:83-106` (8 orbit views)."""
+        views = []
+        for elev, azim in zip(elevations, azimuths):
+            R, t = opencv_orbit_pose(float(elev), float(azim), radius)
+            views.append(self.render_pose(mesh, R, t))
+        return views
