@@ -115,6 +115,55 @@ class FakeDepthBackend:
         }
 
 
+class JaxMatcherBackend:
+    """Production matcher: TwoViewMatcher + reciprocal NN.
+
+    Implements the registration `MatcherBackend` protocol. Without converted
+    MASt3R-equivalent weights the descriptors are untrained; registration
+    then reports ok=False and the layout stage degrades gracefully.
+    """
+
+    def __init__(self, cfg=None, params=None, seed: int = 0, image_size: int = 512):
+        from labelany3d_tpu.models.matcher import MatcherConfig, TwoViewMatcher
+
+        self.cfg = cfg or MatcherConfig.tiny_test()
+        self.model = TwoViewMatcher(self.cfg)
+        self.params = params
+        self.image_size = image_size
+        self._seed = seed
+        self._jitted = None
+
+    def _ensure(self, h: int, w: int):
+        if self.params is None:
+            self.params = self.model.init(
+                jax.random.PRNGKey(self._seed),
+                jnp.zeros((1, h, w, 3)), jnp.zeros((1, h, w, 3)),
+            )["params"]
+        if self._jitted is None:
+            from labelany3d_tpu.ops.reciprocal_nn import reciprocal_nn_match
+
+            def step(params, img0, img1):
+                out = self.model.apply({"params": params}, img0[None], img1[None])
+                return reciprocal_nn_match(out["desc0"][0], out["desc1"][0])
+
+            self._jitted = jax.jit(step)
+
+    def match(self, ref_rgba: np.ndarray, view) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        h, w = view.rgba.shape[:2]
+        ref = np.asarray(ref_rgba, np.float32)[..., :3]
+        if ref.shape[:2] != (h, w):
+            from PIL import Image
+
+            ref = np.asarray(
+                Image.fromarray((ref * 255).astype(np.uint8)).resize((w, h))
+            ).astype(np.float32) / 255.0
+        self._ensure(h, w)
+        res = self._jitted(
+            self.params, jnp.asarray(ref), jnp.asarray(view.rgba[..., :3], jnp.float32)
+        )
+        return np.asarray(res.xy0), np.asarray(res.xy1), np.asarray(res.valid)
+
+
 def register_default_backends() -> None:
     """Install the production factories under their registry keys."""
 
@@ -131,7 +180,23 @@ def register_default_backends() -> None:
             DepthProConfig(backbone=backbone()),
         )
 
-    try:
-        register_model("depth", make_depth)
-    except ValueError:
-        pass
+    from labelany3d_tpu.pipeline.stages.generative import (
+        BicubicEnhance,
+        PassthroughCompletion,
+        SilhouetteExtrude,
+        ZeroElevation,
+    )
+
+    defaults = {
+        "depth": make_depth,
+        "enhance": BicubicEnhance,
+        "completion": PassthroughCompletion,
+        "elevation": ZeroElevation,
+        "reconstruction": SilhouetteExtrude,
+        "matcher": JaxMatcherBackend,
+    }
+    for name, factory in defaults.items():
+        try:
+            register_model(name, factory)
+        except ValueError:
+            pass  # already registered (or overridden by a test/fake)

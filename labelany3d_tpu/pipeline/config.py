@@ -80,6 +80,7 @@ DEFAULT_CONFIG: dict = {
         "batch_size": 8,                # images per device step
         "max_instances": 16,            # padded instance slots per image
         "num_points": 512,              # per-instance point budget
+        "render_size": 512,             # registration renderer resolution
         "image_height": 512,            # resolution bucket
         "image_width": 512,
         "mesh": {"data": -1},          # -1 = all local devices
@@ -112,6 +113,7 @@ class PipelineConfig:
     batch_size: int = 8
     max_instances: int = 16
     num_points: int = 512
+    render_size: int = 512
     image_height: int = 512
     image_width: int = 512
     bbox_method: str = "pca"
@@ -125,6 +127,7 @@ class PipelineConfig:
             batch_size=int(c.batch_size),
             max_instances=int(c.max_instances),
             num_points=int(c.num_points),
+            render_size=int(c.render_size),
             image_height=int(c.image_height),
             image_width=int(c.image_width),
             bbox_method=str(cfg.run.bbox_method),

@@ -4,11 +4,17 @@ Flag parity with every reference batch script
 (`src/batch_scripts/depth.py:96-105`): --config, --start_index, --end_index,
 --split, --save_dir, plus dotted `key=value` config overrides. Stages:
 
-  depth     stage 1  (MoGe+DepthPro -> aligned depth)
-  crops     stage 3  (instance crops)
-  boxes     stage 7's geometric core (depth-driven 3D boxes)
-  export    stage 8  (COCO3D Omni3D JSON)
-  all       depth -> crops -> boxes -> export over the index range
+  depth           stage 1  (MoGe+DepthPro -> aligned depth)
+  enhance         stage 2  (super-resolution backend)
+  crops           stage 3  (instance crops)
+  completion      stage 4  (amodal completion backend)
+  elevation       stage 5  (per-object elevation backend)
+  reconstruction  stage 6  (image->3D backend)
+  layout          stage 7  (register meshes + ground-aligned boxes)
+  boxes           stage 7's depth-only fast path (no generative stack)
+  export          stage 8  (COCO3D Omni3D JSON)
+  fast            depth -> crops -> boxes -> export
+  all             the full 8-stage path over the index range
 """
 
 from __future__ import annotations
@@ -18,13 +24,28 @@ import argparse
 from labelany3d_tpu.data.coconut import CoconutLoader, get_dataset_paths
 from labelany3d_tpu.pipeline.backends import JaxDepthBackend, register_default_backends
 from labelany3d_tpu.pipeline.config import PipelineConfig, load_config
-from labelany3d_tpu.pipeline.stages import BoxStage, CropStage, DepthStage, ExportStage
+from labelany3d_tpu.pipeline.stages import (
+    BoxStage,
+    CompletionStage,
+    CropStage,
+    DepthStage,
+    ElevationStage,
+    EnhanceStage,
+    ExportStage,
+    LayoutStage,
+    ReconstructionStage,
+)
 from labelany3d_tpu.pipeline.stages.common import FileImageSource
+
+_STAGES = [
+    "depth", "enhance", "crops", "completion", "elevation",
+    "reconstruction", "layout", "boxes", "export", "fast", "all",
+]
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="LabelAny3D-TPU pipeline runner")
-    p.add_argument("stage", choices=["depth", "crops", "boxes", "export", "all"])
+    p.add_argument("stage", choices=_STAGES)
     p.add_argument("--config", default=None, help="YAML config path")
     p.add_argument("--start_index", type=int, default=0)
     p.add_argument("--end_index", type=int, default=1)
@@ -77,12 +98,49 @@ def main(argv=None) -> int:
             f"{len(out['annotations'])} annotations"
         )
 
+    def _backend(name):
+        from labelany3d_tpu.models.registry import get_model
+
+        return get_model(name)
+
+    def run_enhance():
+        n = EnhanceStage(cfg, loader, source, args.save_dir, args.split,
+                         backend=_backend("enhance")).run(args.start_index, args.end_index)
+        print(f"[enhance] processed {n} images")
+
+    def run_completion():
+        n = CompletionStage(cfg, loader, args.save_dir, args.split,
+                            backend=_backend("completion")).run(args.start_index, args.end_index)
+        print(f"[completion] processed {n} images")
+
+    def run_elevation():
+        n = ElevationStage(cfg, loader, args.save_dir, args.split,
+                           backend=_backend("elevation")).run(args.start_index, args.end_index)
+        print(f"[elevation] processed {n} images")
+
+    def run_reconstruction():
+        n = ReconstructionStage(cfg, loader, args.save_dir, args.split,
+                                backend=_backend("reconstruction")).run(args.start_index, args.end_index)
+        print(f"[reconstruction] processed {n} images")
+
+    def run_layout():
+        n = LayoutStage(cfg, loader, args.save_dir, args.split,
+                        matcher=_backend("matcher")).run(args.start_index, args.end_index)
+        print(f"[layout] processed {n} images")
+
     dispatch = {
         "depth": [run_depth],
+        "enhance": [run_enhance],
         "crops": [run_crops],
+        "completion": [run_completion],
+        "elevation": [run_elevation],
+        "reconstruction": [run_reconstruction],
+        "layout": [run_layout],
         "boxes": [run_boxes],
         "export": [run_export],
-        "all": [run_depth, run_crops, run_boxes, run_export],
+        "fast": [run_depth, run_crops, run_boxes, run_export],
+        "all": [run_depth, run_enhance, run_crops, run_completion,
+                run_elevation, run_reconstruction, run_layout, run_export],
     }
     for fn in dispatch[args.stage]:
         fn()

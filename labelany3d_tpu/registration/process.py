@@ -189,11 +189,12 @@ def align_to_depth_match(
     K_img: np.ndarray,
     matcher: MatcherBackend,
     key=None,
+    renderer: OrbitRenderer | None = None,
 ) -> np.ndarray:
     """`src/util.py:464-493` equivalent: returns the 4x4 scene-placement
     transform (identity on failure / empty overlap, as the reference)."""
     res = register_object(
         mesh, ref_crop_rgba, elevation_deg, crop_params, K_img,
-        depth_map.shape, depth_map, mask, matcher, key,
+        depth_map.shape, depth_map, mask, matcher, key, renderer=renderer,
     )
     return res.transform if res.ok else np.eye(4)

@@ -61,16 +61,29 @@ class OrbitRenderer:
         self._jitted[key] = render
         return render
 
+    @staticmethod
+    def _bucket_faces(faces: np.ndarray, bucket: int = 2048) -> np.ndarray:
+        """Pad the face list to a bucket size with degenerate (zero-area)
+        faces so jit caches hit across meshes of different sizes."""
+        f = np.asarray(faces, np.int32)
+        n = len(f)
+        target = max(bucket, ((n + bucket - 1) // bucket) * bucket)
+        if target == n:
+            return f
+        pad = np.zeros((target - n, 3), np.int32)  # v0,v0,v0 -> zero area
+        return np.concatenate([f, pad], axis=0)
+
     def render_pose(
         self, mesh: Mesh, R: np.ndarray, t: np.ndarray,
         image_size: tuple[int, int] | None = None, K: np.ndarray | None = None,
     ) -> RenderedView:
         size = image_size or (self.image_size, self.image_size)
         Kn = self.K if K is None else K
-        fn = self._render_fn(len(mesh.faces), tuple(size), Kn)
+        faces = self._bucket_faces(mesh.faces)
+        fn = self._render_fn(len(faces), tuple(size), Kn)
         colors = None if mesh.colors is None else jnp.asarray(mesh.colors)
         rgba, depth = fn(
-            jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces), colors,
+            jnp.asarray(mesh.vertices), jnp.asarray(faces), colors,
             jnp.asarray(R), jnp.asarray(t),
         )
         return RenderedView(np.asarray(rgba), np.asarray(depth), np.asarray(R), np.asarray(t))

@@ -57,13 +57,19 @@ def _textured_cube(n=6):
 
 class OracleMatcher:
     """Geometry-derived correspondences: unprojects the render's depth and
-    projects into the scene camera via the ground-truth placement."""
+    projects into the scene camera via the ground-truth placement.
 
-    def __init__(self, K_img, transform_gt, scene_depth, num_samples=512):
+    Returns ref-side coordinates in *crop space* (the matcher contract —
+    the real matcher sees the 512^2 crop), mapped from scene pixels via
+    `crop_params` (identity by default)."""
+
+    def __init__(self, K_img, transform_gt, scene_depth, num_samples=512,
+                 crop_params=(0.0, 0.0, 1.0)):
         self.K_img = np.asarray(K_img, np.float64)
         self.T_gt = np.asarray(transform_gt, np.float64)  # object -> camera (scaled)
         self.h, self.w = scene_depth.shape
         self.num = num_samples
+        self.crop_params = crop_params
 
     def match(self, ref_rgba, view: RenderedView):
         ys, xs = np.nonzero(view.depth > 0)
@@ -88,7 +94,9 @@ class OracleMatcher:
             & (uv[:, 1] >= 0) & (uv[:, 1] < self.h)
         )
         xy_view = np.stack([xv, yv], -1).astype(np.float32)
-        return uv.astype(np.float32), xy_view, valid
+        ox, oy, sc = self.crop_params
+        uv_crop = (uv - np.array([[ox, oy]])) * sc
+        return uv_crop.astype(np.float32), xy_view, valid
 
 
 @pytest.fixture(scope="module")
