@@ -1,0 +1,106 @@
+"""Torch -> Flax weight conversion for the ViT model family.
+
+The reference's backbones are torch checkpoints (DINOv2 ViT-L for MoGe,
+DepthPro's ViT, MASt3R's CroCo ViT). This module maps DINOv2-style state
+dicts onto `labelany3d_tpu.models.vit.ViT` parameter pytrees so released
+weights load without torch at inference time (conversion itself only needs
+numpy arrays — pass `{k: tensor.numpy()}`).
+
+Mapping notes:
+  * torch Linear weight (out, in) -> flax kernel (in, out) (transpose);
+  * patch_embed.proj.weight (C, 3, p, p) -> Conv kernel (p, p, 3, C);
+  * DINOv2's pos_embed carries a cls entry; our ViT adds positions to patch
+    tokens only, so the cls position is folded into the cls token
+    (mathematically identical for a frozen checkpoint);
+  * LayerScale gamma -> ls1/ls2.gamma.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from labelany3d_tpu.models.vit import ViTConfig
+
+
+def _t(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def convert_dinov2_vit(state: dict, cfg: ViTConfig, grid_hw: tuple[int, int]) -> dict:
+    """DINOv2-style torch state dict -> Flax params for `ViT(cfg)`.
+
+    Args:
+      state: name -> numpy array (torch tensors: pass `.numpy()`).
+      cfg: matching ViTConfig (width/depth/heads/patch/swiglu must agree).
+      grid_hw: (gh, gw) token grid of the checkpoint's pos_embed.
+    """
+    gh, gw = grid_hw
+    p: dict = {}
+
+    pe = np.asarray(state["patch_embed.proj.weight"])  # (C, 3, p, p)
+    p["patch_embed"] = {
+        "kernel": np.transpose(pe, (2, 3, 1, 0)),
+        "bias": np.asarray(state["patch_embed.proj.bias"]),
+    }
+
+    pos = np.asarray(state["pos_embed"])  # (1, 1+reg+N, C) or (1, N, C)
+    n_prefix = pos.shape[1] - gh * gw
+    patch_pos = pos[:, n_prefix:].reshape(1, gh, gw, cfg.width)
+    p["pos_embed"] = patch_pos
+
+    if cfg.use_class_token:
+        cls = np.asarray(state["cls_token"])
+        if n_prefix >= 1:
+            cls = cls + pos[:, :1]  # fold the cls position in
+        p["cls_token"] = cls
+    if cfg.num_register_tokens:
+        p["register_tokens"] = np.asarray(state["register_tokens"])
+
+    for i in range(cfg.depth):
+        pre = f"blocks.{i}."
+        blk: dict = {
+            "norm1": {"scale": np.asarray(state[pre + "norm1.weight"]),
+                      "bias": np.asarray(state[pre + "norm1.bias"])},
+            "norm2": {"scale": np.asarray(state[pre + "norm2.weight"]),
+                      "bias": np.asarray(state[pre + "norm2.bias"])},
+            "attn": {
+                "qkv": {"kernel": _t(state[pre + "attn.qkv.weight"]),
+                        "bias": np.asarray(state[pre + "attn.qkv.bias"])},
+                "proj": {"kernel": _t(state[pre + "attn.proj.weight"]),
+                         "bias": np.asarray(state[pre + "attn.proj.bias"])},
+            },
+        }
+        if cfg.swiglu:
+            blk["mlp"] = {
+                "w12": {"kernel": _t(state[pre + "mlp.w12.weight"]),
+                        "bias": np.asarray(state[pre + "mlp.w12.bias"])},
+                "w3": {"kernel": _t(state[pre + "mlp.w3.weight"]),
+                       "bias": np.asarray(state[pre + "mlp.w3.bias"])},
+            }
+        else:
+            blk["mlp"] = {
+                "fc1": {"kernel": _t(state[pre + "mlp.fc1.weight"]),
+                        "bias": np.asarray(state[pre + "mlp.fc1.bias"])},
+                "fc2": {"kernel": _t(state[pre + "mlp.fc2.weight"]),
+                        "bias": np.asarray(state[pre + "mlp.fc2.bias"])},
+            }
+        if cfg.layerscale_init is not None:
+            blk["ls1"] = {"gamma": np.asarray(state[pre + "ls1.gamma"])}
+            blk["ls2"] = {"gamma": np.asarray(state[pre + "ls2.gamma"])}
+        p[f"block{i}"] = blk
+
+    p["norm"] = {
+        "scale": np.asarray(state["norm.weight"]),
+        "bias": np.asarray(state["norm.bias"]),
+    }
+    return p
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a torch checkpoint into numpy arrays (CPU, no grad state)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
