@@ -1,0 +1,227 @@
+"""Image->3D pipeline (TrellisImageTo3DPipeline equivalent).
+
+Parity target: `external/TRELLIS/trellis/pipelines/trellis_image_to_3d.py:
+256-283` in the reference tree:
+
+  preprocess (alpha crop + resize) -> DINOv2 conditioning ->
+  sample_sparse_structure (flow DiT + decoder -> active voxels) ->
+  sample_slat (sparse flow DiT) -> decode (Gaussians + mesh) -> GLB
+  (`postprocessing_utils.to_glb`: here, marching-tetrahedra surface +
+  vertex colors transferred from the Gaussians).
+
+Runs with random weights until TRELLIS checkpoints are converted; the
+architecture, sampler semantics, and all shapes follow the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from labelany3d_tpu.data.meshio import Mesh
+from labelany3d_tpu.models.trellis.decoders import (
+    GaussianDecoderConfig,
+    MeshDecoderConfig,
+    SLatGaussianDecoder,
+    SLatMeshDecoder,
+)
+from labelany3d_tpu.models.trellis.samplers import (
+    FlowSamplerConfig,
+    cfg_velocity,
+    flow_euler_sample,
+)
+from labelany3d_tpu.models.trellis.slat import SLatConfig, SLatFlowModel
+from labelany3d_tpu.models.trellis.sparse_structure import (
+    SparseStructureConfig,
+    SparseStructureFlowModel,
+    StructureDecoder,
+    decode_occupancy,
+)
+from labelany3d_tpu.models.vit import ViT, ViTConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TrellisPipelineConfig:
+    cond_backbone: ViTConfig = dataclasses.field(default_factory=ViTConfig.giant)
+    cond_size: int = 518            # DINOv2 processing size (parity :85-119)
+    structure: SparseStructureConfig = dataclasses.field(default_factory=SparseStructureConfig)
+    slat: SLatConfig = dataclasses.field(default_factory=SLatConfig)
+    gaussian: GaussianDecoderConfig = dataclasses.field(default_factory=GaussianDecoderConfig)
+    mesh: MeshDecoderConfig = dataclasses.field(default_factory=MeshDecoderConfig)
+    ss_sampler: FlowSamplerConfig = FlowSamplerConfig(steps=25, cfg_strength=7.5, rescale_t=3.0)
+    slat_sampler: FlowSamplerConfig = FlowSamplerConfig(steps=25, cfg_strength=3.0)
+    max_voxels: int = 8192
+
+    @staticmethod
+    def tiny_test() -> "TrellisPipelineConfig":
+        return TrellisPipelineConfig(
+            cond_backbone=ViTConfig.tiny_test(),
+            cond_size=32,
+            structure=SparseStructureConfig.tiny_test(),
+            slat=SLatConfig.tiny_test(),
+            gaussian=GaussianDecoderConfig(latent_channels=4, grid_size=16, hidden=16),
+            mesh=MeshDecoderConfig(latent_channels=4, grid_size=16, hidden=16),
+            ss_sampler=FlowSamplerConfig(steps=4, cfg_strength=3.0),
+            slat_sampler=FlowSamplerConfig(steps=4, cfg_strength=1.5),
+            max_voxels=256,
+        )
+
+
+class TrellisPipeline:
+    def __init__(self, cfg: TrellisPipelineConfig | None = None, seed: int = 0):
+        self.cfg = cfg or TrellisPipelineConfig()
+        c = self.cfg
+        self.cond_model = ViT(c.cond_backbone)
+        self.ss_model = SparseStructureFlowModel(c.structure)
+        self.ss_decoder = StructureDecoder(c.structure)
+        self.slat_model = SLatFlowModel(c.slat)
+        self.gs_decoder = SLatGaussianDecoder(c.gaussian)
+        self.mesh_decoder = SLatMeshDecoder(c.mesh)
+        self.params: dict | None = None
+        self._seed = seed
+
+    # -- parameters -------------------------------------------------------
+    def init_params(self, key=None) -> dict:
+        c = self.cfg
+        key = key if key is not None else jax.random.PRNGKey(self._seed)
+        ks = jax.random.split(key, 6)
+        img = jnp.zeros((1, c.cond_size, c.cond_size, 3))
+        cond_dim = c.cond_backbone.width
+        m = (c.cond_size // c.cond_backbone.patch_size) ** 2
+        cond_tokens = jnp.zeros((1, m, cond_dim))
+        r3 = c.structure.latent_res**3
+        latent = jnp.zeros((1, r3, c.structure.latent_channels))
+        t = jnp.zeros((1,))
+        n = c.max_voxels
+        feats = jnp.zeros((1, n, c.slat.latent_channels))
+        coords = jnp.zeros((1, n, 3), jnp.int32)
+        valid = jnp.ones((1, n), bool)
+        self.params = {
+            "cond": self.cond_model.init(ks[0], img)["params"],
+            "ss": self.ss_model.init(ks[1], latent, t, cond_tokens)["params"],
+            "ss_dec": self.ss_decoder.init(ks[2], latent)["params"],
+            "slat": self.slat_model.init(ks[3], feats, coords, valid, t, cond_tokens)["params"],
+            "gs": self.gs_decoder.init(ks[4], feats[0], coords[0], valid[0])["params"],
+            "mesh": self.mesh_decoder.init(ks[5], feats[0], coords[0], valid[0])["params"],
+        }
+        return self.params
+
+    # -- stages -----------------------------------------------------------
+    def preprocess(self, rgba: np.ndarray) -> jnp.ndarray:
+        """Alpha-crop to the object bbox, pad square, resize to cond_size.
+
+        Parity: `trellis_image_to_3d.py:85-119` (alpha-guided crop +
+        518^2 resize; background to gray is implicit via alpha-mult here).
+        """
+        from PIL import Image
+
+        img = np.asarray(rgba)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        if img.shape[-1] == 4:
+            alpha = img[..., 3] > 127
+            rgb = img[..., :3] * (alpha[..., None])
+        else:
+            alpha = np.ones(img.shape[:2], bool)
+            rgb = img[..., :3]
+        ys, xs = np.nonzero(alpha)
+        if len(ys):
+            y0, y1 = ys.min(), ys.max() + 1
+            x0, x1 = xs.min(), xs.max() + 1
+            rgb = rgb[y0:y1, x0:x1]
+        h, w = rgb.shape[:2]
+        side = max(h, w)
+        sq = np.zeros((side, side, 3), np.uint8)
+        sq[(side - h) // 2 : (side - h) // 2 + h, (side - w) // 2 : (side - w) // 2 + w] = rgb
+        out = np.asarray(Image.fromarray(sq).resize((self.cfg.cond_size,) * 2, Image.BILINEAR))
+        return jnp.asarray(out, jnp.float32) / 255.0
+
+    def get_cond(self, image: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(cond_tokens, uncond_tokens); uncond = zeros (CFG null cond,
+        parity with :120-162)."""
+        tokens = self.cond_model.apply({"params": self.params["cond"]}, image[None])["tokens"]
+        return tokens, jnp.zeros_like(tokens)
+
+    def sample_sparse_structure(self, cond, uncond, key):
+        c = self.cfg
+        r3 = c.structure.latent_res**3
+        noise = jax.random.normal(key, (1, r3, c.structure.latent_channels))
+
+        def model_fn(x, t, tok):
+            return self.ss_model.apply({"params": self.params["ss"]}, x, t, tok)
+
+        vel = cfg_velocity(model_fn, cond, uncond, c.ss_sampler.cfg_strength)
+        latent = flow_euler_sample(vel, noise, c.ss_sampler)
+        logits = self.ss_decoder.apply({"params": self.params["ss_dec"]}, latent)
+        coords, valid = decode_occupancy(logits, c.max_voxels)
+        return coords, valid
+
+    def sample_slat(self, coords, valid, cond, uncond, key):
+        c = self.cfg
+        n = coords.shape[1]
+        noise = jax.random.normal(key, (1, n, c.slat.latent_channels))
+
+        def model_fn(x, t, tok):
+            return self.slat_model.apply(
+                {"params": self.params["slat"]}, x, coords, valid, t, tok
+            )
+
+        vel = cfg_velocity(model_fn, cond, uncond, c.slat_sampler.cfg_strength)
+        return flow_euler_sample(vel, noise, c.slat_sampler)
+
+    def decode(self, slat, coords, valid):
+        gs = self.gs_decoder.apply(
+            {"params": self.params["gs"]}, slat[0], coords[0], valid[0]
+        )
+        sdf = self.mesh_decoder.apply(
+            {"params": self.params["mesh"]}, slat[0], coords[0], valid[0]
+        )
+        return gs, sdf
+
+    def to_glb_mesh(self, gs, sdf) -> Mesh:
+        """Surface extraction + vertex-color transfer from the Gaussians.
+
+        Role parity with `postprocessing_utils.to_glb` (:399-444): the
+        reference bakes a texture from 100 splat renders; here each surface
+        vertex takes its nearest Gaussian's color (KNN transfer) — a
+        UV-free bake adequate for registration renders and box fitting.
+        """
+        from labelany3d_tpu.ops.marching_cubes import marching_cubes_mesh
+
+        verts, faces = marching_cubes_mesh(np.asarray(sdf), iso=0.0)
+        g = self.cfg.mesh.grid_size
+        verts_obj = verts / g  # [0, 1]^3 object frame
+        mesh = Mesh(vertices=verts_obj.astype(np.float32), faces=faces)
+        means = np.asarray(gs.means)
+        colors = np.asarray(gs.colors)
+        ok = np.asarray(gs.valid) & (np.asarray(gs.opacities) > 0.01)
+        if ok.any() and len(verts_obj):
+            m = means[ok]
+            c = colors[ok]
+            # nearest-gaussian color per vertex (chunked host knn)
+            d2 = ((verts_obj[:, None, :] - m[None, :3000, :]) ** 2).sum(-1)
+            mesh.colors = c[: 3000][np.argmin(d2, axis=1)].astype(np.float32)
+        # Center to [-0.5, 0.5] like generative reconstructors' outputs.
+        mesh.vertices = mesh.vertices - 0.5
+        return mesh
+
+    def run(self, rgba: np.ndarray, seed: int = 1) -> dict:
+        """Full image->3D generation; parity with `run` (:256-283)."""
+        if self.params is None:
+            self.init_params()
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        image = self.preprocess(rgba)
+        cond, uncond = self.get_cond(image)
+        coords, valid = self.sample_sparse_structure(cond, uncond, k1)
+        slat = self.sample_slat(coords, valid, cond, uncond, k2)
+        gs, sdf = self.decode(slat, coords, valid)
+        mesh = self.to_glb_mesh(gs, sdf)
+        return {"mesh": mesh, "gaussians": gs, "coords": coords, "valid": valid, "sdf": sdf}
+
+    # Reconstruction-backend protocol (pipeline stage 6).
+    def reconstruct(self, crop_rgba: np.ndarray, label: str = "") -> Mesh:
+        return self.run(crop_rgba)["mesh"]
