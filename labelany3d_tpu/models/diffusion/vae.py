@@ -1,0 +1,112 @@
+"""SD-class KL autoencoder (Flax): images <-> 4-channel latents at 1/8 res."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+SD_LATENT_SCALE = 0.18215  # SD convention: latents multiplied by this
+
+
+def _num_groups(ch: int, target: int = 32) -> int:
+    """Largest group count <= target dividing ch (GroupNorm constraint)."""
+    g = min(target, ch)
+    while ch % g:
+        g -= 1
+    return g
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    latent_channels: int = 4
+    widths: tuple = (128, 256, 512, 512)
+    dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def tiny_test() -> "VAEConfig":
+        return VAEConfig(widths=(8, 16))
+
+
+class _Res(nn.Module):
+    ch: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), dtype=jnp.float32, name="n1")(x)
+        h = nn.Conv(self.ch, (3, 3), dtype=self.dtype, name="c1")(nn.silu(h).astype(self.dtype))
+        h = nn.GroupNorm(num_groups=_num_groups(self.ch), dtype=jnp.float32, name="n2")(h)
+        h = nn.Conv(self.ch, (3, 3), dtype=self.dtype, name="c2")(nn.silu(h).astype(self.dtype))
+        if x.shape[-1] != self.ch:
+            x = nn.Conv(self.ch, (1, 1), dtype=self.dtype, name="skip")(x.astype(self.dtype))
+        return x + h
+
+
+class Encoder(nn.Module):
+    cfg: VAEConfig
+
+    @nn.compact
+    def __call__(self, images):
+        cfg = self.cfg
+        h = nn.Conv(cfg.widths[0], (3, 3), dtype=cfg.dtype, name="in")(images.astype(cfg.dtype))
+        for i, w in enumerate(cfg.widths):
+            h = _Res(w, cfg.dtype, name=f"res{i}")(h)
+            if i < len(cfg.widths) - 1:
+                h = nn.Conv(w, (3, 3), strides=(2, 2), dtype=cfg.dtype, name=f"ds{i}")(h)
+        h = nn.GroupNorm(num_groups=_num_groups(h.shape[-1]), dtype=jnp.float32, name="n_out")(h)
+        moments = nn.Conv(2 * cfg.latent_channels, (3, 3), dtype=jnp.float32,
+                          param_dtype=jnp.float32, name="out")(nn.silu(h).astype(jnp.float32))
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30, 20)
+
+
+class Decoder(nn.Module):
+    cfg: VAEConfig
+
+    @nn.compact
+    def __call__(self, latents):
+        cfg = self.cfg
+        h = nn.Conv(cfg.widths[-1], (3, 3), dtype=cfg.dtype, name="in")(latents.astype(cfg.dtype))
+        for i, w in enumerate(reversed(cfg.widths)):
+            h = _Res(w, cfg.dtype, name=f"res{i}")(h)
+            if i < len(cfg.widths) - 1:
+                b, hh, ww, c = h.shape
+                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
+                h = nn.Conv(w, (3, 3), dtype=cfg.dtype, name=f"us{i}")(h)
+        h = nn.GroupNorm(num_groups=_num_groups(h.shape[-1]), dtype=jnp.float32, name="n_out")(h)
+        return nn.Conv(3, (3, 3), dtype=jnp.float32, param_dtype=jnp.float32,
+                       name="out")(nn.silu(h).astype(jnp.float32))
+
+
+class AutoencoderKL:
+    """Paired encoder/decoder with SD latent scaling."""
+
+    def __init__(self, cfg: VAEConfig | None = None, seed: int = 0):
+        self.cfg = cfg or VAEConfig()
+        self.encoder = Encoder(self.cfg)
+        self.decoder = Decoder(self.cfg)
+        self.params: dict | None = None
+        self._seed = seed
+
+    def init_params(self, image_size: int = 64) -> dict:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(self._seed))
+        img = jnp.zeros((1, image_size, image_size, 3))
+        enc = self.encoder.init(k1, img)["params"]
+        factor = 2 ** (len(self.cfg.widths) - 1)
+        lat = jnp.zeros((1, image_size // factor, image_size // factor, self.cfg.latent_channels))
+        dec = self.decoder.init(k2, lat)["params"]
+        self.params = {"encoder": enc, "decoder": dec}
+        return self.params
+
+    def encode(self, images: jnp.ndarray, key=None) -> jnp.ndarray:
+        mean, logvar = self.encoder.apply({"params": self.params["encoder"]}, images)
+        if key is not None:
+            mean = mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape)
+        return mean * SD_LATENT_SCALE
+
+    def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder.apply({"params": self.params["decoder"]}, latents / SD_LATENT_SCALE)
