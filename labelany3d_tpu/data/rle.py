@@ -11,8 +11,9 @@ codec is reimplemented from the published COCO mask API format:
     ASCII 48), with counts[i] for i >= 2 stored as a delta against
     counts[i-2].
 
-A vectorized numpy path handles batch decode; `labelany3d_tpu.native.rle`
-provides an optional C++ fast path (loaded lazily, same API).
+A vectorized numpy path handles batch decode; `labelany3d_tpu.native`
+provides a C++ fast path (built on demand with g++, loaded via ctypes)
+covering the same four hot loops — the pycocotools-C-extension role.
 """
 
 from __future__ import annotations
@@ -20,10 +21,25 @@ from __future__ import annotations
 import numpy as np
 
 
+def _native():
+    from labelany3d_tpu.native import load_rle
+
+    return load_rle()
+
+
 def rle_from_string(s: bytes | str) -> np.ndarray:
     """Decode a compressed-counts string into an int64 run-length array."""
     if isinstance(s, str):
         s = s.encode("utf-8")
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        buf = np.zeros(len(s) + 4, np.int64)
+        m = lib.rle_from_string(
+            s, len(s), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(buf)
+        )
+        return buf[:m].copy()
     counts = []
     p = 0
     n = len(s)
@@ -47,8 +63,18 @@ def rle_from_string(s: bytes | str) -> np.ndarray:
 
 def rle_to_string(counts: np.ndarray) -> bytes:
     """Encode an int run-length array into the compressed-counts string."""
+    counts = np.ascontiguousarray(counts, np.int64)
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        out_buf = ctypes.create_string_buffer(int(len(counts) * 16 + 16))
+        n = lib.rle_to_string(
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(counts),
+            out_buf, len(out_buf),
+        )
+        return out_buf.raw[:n]
     out = bytearray()
-    counts = np.asarray(counts, np.int64)
     for i, cnt in enumerate(counts):
         x = int(cnt)
         if i > 2:
@@ -66,7 +92,17 @@ def rle_to_string(counts: np.ndarray) -> bytes:
 
 def rle_to_mask(counts: np.ndarray, height: int, width: int) -> np.ndarray:
     """Run lengths -> (H, W) bool mask (column-major runs)."""
-    counts = np.asarray(counts, np.int64)
+    counts = np.ascontiguousarray(counts, np.int64)
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        mask = np.zeros((height, width), np.uint8)
+        lib.rle_to_mask(
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(counts),
+            height, width, mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return mask.astype(bool)
     total = int(counts.sum())
     if total != height * width:
         # COCO tolerates a short final run; pad/truncate defensively.
@@ -85,6 +121,18 @@ def rle_to_mask(counts: np.ndarray, height: int, width: int) -> np.ndarray:
 
 def mask_to_rle(mask: np.ndarray) -> np.ndarray:
     """(H, W) mask -> run-length counts (column-major, background first)."""
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        m8 = np.ascontiguousarray(mask, np.uint8)
+        h, w = m8.shape
+        buf = np.zeros(h * w + 2, np.int64)
+        n = lib.mask_to_rle(
+            m8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(buf),
+        )
+        return buf[:n].copy()
     flat = np.asarray(mask, bool).T.reshape(-1)
     if flat.size == 0:
         return np.zeros(0, np.int64)

@@ -1,0 +1,77 @@
+"""Native RLE codec, prefetcher, and trajectory renderer tests."""
+
+import time
+
+import numpy as np
+import pytest
+
+import labelany3d_tpu.data.rle as R
+from labelany3d_tpu.data.prefetch import Prefetcher
+from labelany3d_tpu.native import load_rle
+
+
+def test_native_rle_matches_python(rng):
+    lib = load_rle()
+    if lib is None:
+        pytest.skip("no native toolchain")
+    m = rng.uniform(size=(120, 90)) > 0.55
+    counts_n = R.mask_to_rle(m)
+    s_n = R.rle_to_string(counts_n)
+    back_n = R.rle_to_mask(R.rle_from_string(s_n), 120, 90)
+    orig = R._native
+    try:
+        R._native = lambda: None
+        counts_p = R.mask_to_rle(m)
+        s_p = R.rle_to_string(counts_p)
+        back_p = R.rle_to_mask(R.rle_from_string(s_p), 120, 90)
+    finally:
+        R._native = orig
+    np.testing.assert_array_equal(counts_n, counts_p)
+    assert s_n == s_p
+    np.testing.assert_array_equal(back_n, back_p)
+    np.testing.assert_array_equal(back_n, m)
+
+
+def test_prefetcher_order_and_concurrency():
+    def work(i):
+        time.sleep(0.01)
+        return i * i
+
+    out = list(Prefetcher(range(20), work, depth=4, num_workers=4))
+    assert out == [i * i for i in range(20)]
+
+
+def test_prefetcher_propagates_errors():
+    def work(i):
+        if i == 3:
+            raise ValueError("boom")
+        return i
+
+    with pytest.raises(ValueError, match="boom"):
+        list(Prefetcher(range(5), work))
+
+
+def test_trajectory_video(tmp_path):
+    import json
+
+    from labelany3d_tpu.data.meshio import Mesh, save_glb
+    from labelany3d_tpu.pipeline.scene import SceneDir
+
+    sd = SceneDir(tmp_path / "scene").ensure()
+    # simple colored cube scene at z=4
+    s = 0.5
+    v = np.array(
+        [[-s, -s, -s], [s, -s, -s], [s, s, -s], [-s, s, -s],
+         [-s, -s, s], [s, -s, s], [s, s, s], [-s, s, s]], np.float32
+    ) + np.array([0, 0, 4.0], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6]], np.int32)
+    mesh = Mesh(v, f, colors=np.tile(np.array([[0.8, 0.2, 0.2]], np.float32), (8, 1)))
+    save_glb(sd.root / "reconstruction" / "full_scene.glb", mesh)
+    sd.bbox3d.write_text(json.dumps([{"bbox3D_cam": v.tolist(), "category_name": "box"}]))
+
+    from labelany3d_tpu.utils.trajectory import render_trajectory_video
+
+    out = render_trajectory_video(sd, str(tmp_path / "traj.mp4"), num_frames=4, image_size=96)
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
