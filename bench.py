@@ -27,7 +27,8 @@ import numpy as np
 
 
 B, H, W, I, PTS = 8, 512, 512, 16, 512
-TPU_TIMED_ITERS = 10
+TPU_WARMUP_ITERS = 30   # the TPU tunnel backend needs ~20 calls to reach
+TPU_TIMED_ITERS = 100   # steady state; early calls are 50-100x slower
 HOST_TIMED_IMAGES = 3
 
 
@@ -61,15 +62,19 @@ def bench_tpu(rel, metric, dmask, K, masks) -> float:
     key = jax.random.PRNGKey(0)
     args = tuple(map(jax.numpy.asarray, (rel, metric, dmask, K, masks)))
 
-    # compile + warmup
-    out = step(*args, key)
+    # compile + warmup (the tunnel backend's first ~20 executions are cold)
+    for it in range(TPU_WARMUP_ITERS):
+        out = step(*args, jax.random.fold_in(key, 10000 + it))
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for it in range(TPU_TIMED_ITERS):
-        out = step(*args, jax.random.fold_in(key, it))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return B * TPU_TIMED_ITERS / dt
+    rates = []
+    for window in range(3):
+        t0 = time.perf_counter()
+        for it in range(TPU_TIMED_ITERS):
+            out = step(*args, jax.random.fold_in(key, window * 1000 + it))
+        jax.block_until_ready(out)
+        rates.append(B * TPU_TIMED_ITERS / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[1]  # median of 3 windows
 
 
 def bench_host(rel, metric, dmask, K, masks) -> float:

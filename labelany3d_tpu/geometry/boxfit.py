@@ -52,8 +52,12 @@ class BoxEstimate(NamedTuple):
     ok: jnp.ndarray          # (...) bool; False when no valid points
 
 
-# Corner ordering parity: src/util_3dbox.py:83-92.
-_LOCAL_CORNER_SIGNS = jnp.array(
+# Corner ordering parity: src/util_3dbox.py:83-92. Kept as numpy (a
+# module-level jnp array would be a committed device constant — expensive
+# to capture in jitted programs on the tunnel backend; numpy folds free).
+import numpy as _np
+
+_LOCAL_CORNER_SIGNS = _np.array(
     [
         [-1, -1, -1],
         [1, -1, -1],
@@ -64,7 +68,7 @@ _LOCAL_CORNER_SIGNS = jnp.array(
         [1, 1, 1],
         [-1, 1, 1],
     ],
-    jnp.float32,
+    _np.float32,
 )
 
 

@@ -10,7 +10,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_BIG = jnp.float32(3.4e38)
+# NOTE: must be a Python float, not jnp.float32(...): a module-level jnp
+# scalar is a *committed device constant* and capturing it inside jitted
+# programs costs ~24 ms per call on the TPU tunnel backend (measured) —
+# literals fold into the program for free.
+_BIG = 3.4e38
 
 
 def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis=-1, keepdims=False) -> jnp.ndarray:
