@@ -27,8 +27,8 @@ import numpy as np
 
 
 B, H, W, I, PTS = 8, 512, 512, 16, 512
-TPU_WARMUP_ITERS = 30   # the TPU tunnel backend needs ~20 calls to reach
-TPU_TIMED_ITERS = 100   # steady state; early calls are 50-100x slower
+TPU_WARMUP_ITERS = 10   # tunnel cold-start; see bench_tpu timing notes
+TPU_TIMED_ITERS = 50
 HOST_TIMED_IMAGES = 3
 
 
@@ -53,25 +53,35 @@ def make_batch(rng):
 
 def bench_tpu(rel, metric, dmask, K, masks) -> float:
     import jax
+    import jax.numpy as jnp
 
     from labelany3d_tpu.pipeline.labeling import labeling_step
 
-    step = jax.jit(
-        lambda r, m, dm, k, msk, key: labeling_step(r, m, dm, k, msk, key, num_points=PTS)
-    )
+    # Timing methodology: the tunnel backend executes lazily — dispatch and
+    # even block_until_ready can return before remote execution, inflating
+    # naive loop timings by orders of magnitude. Each step therefore folds
+    # its outputs into an accumulator consumed by the next step, and the
+    # wall clock closes over a host fetch of the final value, which forces
+    # the whole chain.
+    def step(acc, r, m, dm, k, msk, key):
+        aligned, out = labeling_step(r, m, dm, k, msk, key, num_points=PTS)
+        return acc + out.boxes.center_cam.sum() + aligned[0, 0, 0]
+
+    fn = jax.jit(step)
     key = jax.random.PRNGKey(0)
     args = tuple(map(jax.numpy.asarray, (rel, metric, dmask, K, masks)))
 
-    # compile + warmup (the tunnel backend's first ~20 executions are cold)
+    acc = jnp.float32(0.0)
     for it in range(TPU_WARMUP_ITERS):
-        out = step(*args, jax.random.fold_in(key, 10000 + it))
-    jax.block_until_ready(out)
+        acc = fn(acc, *args, jax.random.fold_in(key, 10000 + it))
+    float(acc)  # force the warmup chain
     rates = []
     for window in range(3):
+        acc = jnp.float32(0.0)
         t0 = time.perf_counter()
         for it in range(TPU_TIMED_ITERS):
-            out = step(*args, jax.random.fold_in(key, window * 1000 + it))
-        jax.block_until_ready(out)
+            acc = fn(acc, *args, jax.random.fold_in(key, window * 1000 + it))
+        float(acc)  # forces all TPU_TIMED_ITERS executions
         rates.append(B * TPU_TIMED_ITERS / (time.perf_counter() - t0))
     rates.sort()
     return rates[1]  # median of 3 windows

@@ -92,10 +92,14 @@ def ransac_linear_1d(
     valid = jnp.asarray(valid, bool).reshape(-1)
     n_valid = jnp.sum(valid)
 
+    # Scoring subsample: uniform pixel draws with validity *weights* instead
+    # of exact sampling-among-valid (a cumsum+searchsorted inverse CDF costs
+    # ~10x more on TPU; with any reasonable valid fraction the effective
+    # sample is still thousands of points and the estimator is unchanged).
     k_sub, k_trials = jax.random.split(key)
-    sub_idx = _sample_valid_indices(k_sub, valid, max_points)
+    sub_idx = jax.random.randint(k_sub, (max_points,), 0, x.shape[0])
     xs, ys = x[sub_idx], y[sub_idx]
-    sub_ok = jnp.ones((max_points,), bool) & (n_valid > 0)
+    sub_ok = valid[sub_idx] & (n_valid > 0)
 
     if residual_threshold is None:
         thresh = masked_mad(ys, sub_ok)
@@ -109,7 +113,7 @@ def ransac_linear_1d(
     )
     tx = xs[trial_idx]  # (T, S)
     ty = ys[trial_idx]
-    tw = jnp.ones_like(tx)
+    tw = sub_ok[trial_idx].astype(jnp.float32)
     a_t, b_t = fit_linear_1d(tx, ty, tw, intercept=intercept)  # (T,)
 
     resid = jnp.abs(ys[None, :] - (a_t[:, None] * xs[None, :] + b_t[:, None]))

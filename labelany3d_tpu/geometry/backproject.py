@@ -110,8 +110,20 @@ def gather_instance_points(
     draws = jax.random.randint(
         key, (n_inst, num_samples), 0, jnp.maximum(n_valid, 1)[:, None]
     )
-    blk = jax.vmap(lambda c, d: jnp.searchsorted(c, d, side="right"))(blk_cdf, draws)
-    blk = jnp.clip(blk, 0, gh * gw - 1)
+    # Two-level broadcast-compare search instead of jnp.searchsorted: TPU
+    # binary search costs a random gather per bisection round and the sort
+    # method pays a full batched sort; comparing against 128 superblock
+    # tails, then one contiguous 128-entry row per sample, is pure VPU work.
+    nb = gh * gw
+    sb = 128
+    nsb = nb // sb
+    cdf3 = blk_cdf.reshape(n_inst, nsb, sb)
+    tails = cdf3[:, :, -1]                                        # (I, NSB)
+    sb_idx = jnp.sum(tails[:, None, :] <= draws[:, :, None], axis=-1)
+    sb_idx = jnp.clip(sb_idx, 0, nsb - 1)                          # (I, S)
+    rows = jnp.take_along_axis(cdf3, sb_idx[:, :, None], axis=1)   # (I, S, sb)
+    inner = jnp.sum(rows <= draws[:, :, None], axis=-1)
+    blk = jnp.clip(sb_idx * sb + inner, 0, nb - 1)
     blk_excl = blk_cdf - blk_counts
     within = draws - jnp.take_along_axis(blk_excl, blk, axis=-1)  # (I, S)
 
