@@ -57,13 +57,30 @@ class JaxDepthBackend:
         self._seed = seed
         self._jitted = {}
 
+    @staticmethod
+    def _cast_inference_params(params):
+        """Pre-cast float32 weights to bfloat16 once: the modules compute in
+        bf16 anyway, so per-call casts of hundreds of MB of f32 weights are
+        pure HBM waste. Norm/scale params stay f32 (they are consumed by
+        f32 norm ops)."""
+
+        def cast(path, x):
+            name = getattr(path[-1], "key", "") if path else ""
+            if x.dtype == jnp.float32 and name in ("kernel", "bias"):
+                return x.astype(jnp.bfloat16)
+            return x
+
+        return jax.tree_util.tree_map_with_path(cast, params)
+
     def _ensure_params(self, h: int, w: int):
         if self._params_moge is None:
             k = jax.random.PRNGKey(self._seed)
-            self._params_moge = self.moge.init(k, jnp.zeros((1, h, w, 3)))["params"]
+            p = self.moge.init(k, jnp.zeros((1, h, w, 3)))["params"]
+            self._params_moge = self._cast_inference_params(p)
         if self._params_dp is None:
             k = jax.random.PRNGKey(self._seed + 1)
-            self._params_dp = self.depth_pro.init(k, jnp.zeros((1, h, w, 3)))["params"]
+            p = self.depth_pro.init(k, jnp.zeros((1, h, w, 3)))["params"]
+            self._params_dp = self._cast_inference_params(p)
 
     def _step(self, h: int, w: int):
         if (h, w) in self._jitted:

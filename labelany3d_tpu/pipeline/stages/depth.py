@@ -82,12 +82,24 @@ class DepthStage:
                 done += 1
             pending.clear()
 
+        # Prefetch image decode on worker threads so host IO overlaps the
+        # device batches (the reference loads synchronously per image,
+        # depth.py:120-127).
+        from labelany3d_tpu.data.prefetch import Prefetcher
+
+        todo = []
         for i in range(start_index, end_index):
             info = self.loader.get_image_by_index(i)
             scene = self._scene(info)
             if scene.depth_done():
                 continue
-            img = self.image_source.get(info)
+            todo.append((info, scene))
+
+        loaded = Prefetcher(
+            todo, lambda item: (item[0], item[1], self.image_source.get(item[0])),
+            depth=2 * cfg.batch_size, num_workers=4,
+        )
+        for info, scene, img in loaded:
             pending.append((info, scene, img))
             if len(pending) == cfg.batch_size:
                 flush()
