@@ -204,12 +204,72 @@ def register_default_backends() -> None:
         ZeroElevation,
     )
 
+    def make_reconstruction(backend: str = "silhouette", **kw):
+        """'silhouette' (deterministic) | 'trellis' (sparse generative
+        stack) | 'hunyuan3d' (multi-view diffusion + space carving — the
+        reference's alternate obj_rec)."""
+        if backend == "trellis":
+            from labelany3d_tpu.models.trellis import TrellisPipeline, TrellisPipelineConfig
+
+            cfg = TrellisPipelineConfig.tiny_test() if kw.get("tiny") else None
+            return TrellisPipeline(cfg)
+        if backend == "hunyuan3d":
+            from labelany3d_tpu.models.diffusion import Zero123NovelView
+            from labelany3d_tpu.models.spacecarve import SpaceCarveReconstruction
+
+            nv = Zero123NovelView(tiny=bool(kw.get("tiny")))
+            return SpaceCarveReconstruction(novel_views=nv)
+        return SilhouetteExtrude()
+
+    def make_enhance(backend: str = "bicubic", **kw):
+        if backend == "invsr":
+            from labelany3d_tpu.models.diffusion import InvSREnhance
+
+            return InvSREnhance(tiny=bool(kw.get("tiny")))
+        return BicubicEnhance()
+
+    def make_completion(backend: str = "none", **kw):
+        if backend == "our":
+            from labelany3d_tpu.models.diffusion import AmodalCompletion
+
+            return AmodalCompletion(tiny=bool(kw.get("tiny")))
+        return PassthroughCompletion()
+
+    def make_elevation(backend: str = "zero", **kw):
+        if backend == "zero123":
+            from labelany3d_tpu.models.diffusion import Zero123NovelView
+            from labelany3d_tpu.models.elevation import MatchingElevationEstimator
+            from labelany3d_tpu.registration.cameras import RENDER_K
+
+            nv = Zero123NovelView(tiny=bool(kw.get("tiny")))
+            matcher = JaxMatcherBackend()
+
+            def pair_match(img0, img1):
+                class _V:
+                    rgba = np.concatenate(
+                        [img1.astype(np.float32) / 255.0,
+                         np.ones(img1.shape[:2] + (1,), np.float32)], axis=-1
+                    )
+
+                return matcher.match(
+                    np.concatenate(
+                        [img0.astype(np.float32) / 255.0,
+                         np.ones(img0.shape[:2] + (1,), np.float32)], axis=-1
+                    ),
+                    _V(),
+                )
+
+            K = RENDER_K.copy()
+            K[:2] *= nv.image_size / 512.0
+            return MatchingElevationEstimator(nv, pair_match, K)
+        return ZeroElevation()
+
     defaults = {
         "depth": make_depth,
-        "enhance": BicubicEnhance,
-        "completion": PassthroughCompletion,
-        "elevation": ZeroElevation,
-        "reconstruction": SilhouetteExtrude,
+        "enhance": make_enhance,
+        "completion": make_completion,
+        "elevation": make_elevation,
+        "reconstruction": make_reconstruction,
         "matcher": JaxMatcherBackend,
     }
     for name, factory in defaults.items():

@@ -70,8 +70,14 @@ DEFAULT_CONFIG: dict = {
         "attributes": {"img_path": None},
     },
     "run": {
-        "amodal_completion": "our",    # 'our' | None
-        "obj_rec": "trellis",           # 'trellis' | 'hunyuan3d'
+        # Reference defaults are amodal_completion='our', obj_rec='trellis'
+        # (src/configs/image.yaml); until converted checkpoints are
+        # installed the deterministic baselines are the sane defaults —
+        # flip these via config/CLI once weights exist.
+        "amodal_completion": None,      # 'our' | None
+        "obj_rec": "silhouette",        # 'trellis' | 'hunyuan3d' | 'silhouette'
+        "enhance": "bicubic",           # 'invsr' | 'bicubic'
+        "elevation": "zero",            # 'zero123' | 'zero'
         "segmentation": "coconut",      # 'coconut' | 'entityv2' (wild mode)
         "depth": "moge+depthpro",
         "bbox_method": "pca",           # 'pca' | 'minarea'

@@ -98,29 +98,37 @@ def main(argv=None) -> int:
             f"{len(out['annotations'])} annotations"
         )
 
-    def _backend(name):
+    def _backend(name, **kw):
         from labelany3d_tpu.models.registry import get_model
 
-        return get_model(name)
+        return get_model(name, **kw)
 
     def run_enhance():
+        # run.enhance backend: 'bicubic' (default) | 'invsr'
+        be = _backend("enhance", backend=str(cfg_node.run.get("enhance", "bicubic")))
         n = EnhanceStage(cfg, loader, source, args.save_dir, args.split,
-                         backend=_backend("enhance")).run(args.start_index, args.end_index)
+                         backend=be).run(args.start_index, args.end_index)
         print(f"[enhance] processed {n} images")
 
     def run_completion():
+        # Parity: run.amodal_completion 'our' | null (src/configs/image.yaml)
+        mode = cfg_node.run.get("amodal_completion")
+        be = _backend("completion", backend="our" if mode == "our" else "none")
         n = CompletionStage(cfg, loader, args.save_dir, args.split,
-                            backend=_backend("completion")).run(args.start_index, args.end_index)
+                            backend=be).run(args.start_index, args.end_index)
         print(f"[completion] processed {n} images")
 
     def run_elevation():
+        be = _backend("elevation", backend=str(cfg_node.run.get("elevation", "zero")))
         n = ElevationStage(cfg, loader, args.save_dir, args.split,
-                           backend=_backend("elevation")).run(args.start_index, args.end_index)
+                           backend=be).run(args.start_index, args.end_index)
         print(f"[elevation] processed {n} images")
 
     def run_reconstruction():
+        # Parity: run.obj_rec 'trellis' | 'hunyuan3d' (+ 'silhouette' here)
+        be = _backend("reconstruction", backend=str(cfg_node.run.get("obj_rec", "silhouette")))
         n = ReconstructionStage(cfg, loader, args.save_dir, args.split,
-                                backend=_backend("reconstruction")).run(args.start_index, args.end_index)
+                                backend=be).run(args.start_index, args.end_index)
         print(f"[reconstruction] processed {n} images")
 
     def run_layout():

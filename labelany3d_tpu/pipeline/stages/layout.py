@@ -16,6 +16,7 @@ is one vmapped `fit_boxes_batch` over every object in the scene.
 
 from __future__ import annotations
 
+import json
 import os
 
 import jax
@@ -182,6 +183,6 @@ class LayoutStage:
                     "bbox3D_cam": boxes.vertices[j].tolist(),
                 }
             )
-        scene.bbox3d_ground.write_text(__import__("json").dumps(bbox_list))
+        scene.bbox3d_ground.write_text(json.dumps(bbox_list))
         # whole.py:131-132 — rename to the canonical artifact name.
         os.replace(scene.bbox3d_ground, scene.bbox3d)
