@@ -181,13 +181,13 @@ class TrellisPipeline:
         )
         return gs, sdf
 
-    def to_glb_mesh(self, gs, sdf) -> Mesh:
-        """Surface extraction + vertex-color transfer from the Gaussians.
+    def to_glb_mesh(self, gs, sdf, bake: str = "render") -> Mesh:
+        """Surface extraction + color bake from the Gaussians.
 
-        Role parity with `postprocessing_utils.to_glb` (:399-444): the
-        reference bakes a texture from 100 splat renders; here each surface
-        vertex takes its nearest Gaussian's color (KNN transfer) — a
-        UV-free bake adequate for registration renders and box fitting.
+        Role parity with `postprocessing_utils.to_glb` (:399-444).
+        bake='render' projects multi-view splat renders onto the surface
+        (the reference's scheme, UV-free); bake='knn' is the cheap
+        nearest-gaussian transfer.
         """
         from labelany3d_tpu.ops.marching_cubes import marching_cubes_mesh
 
@@ -195,15 +195,17 @@ class TrellisPipeline:
         g = self.cfg.mesh.grid_size
         verts_obj = verts / g  # [0, 1]^3 object frame
         mesh = Mesh(vertices=verts_obj.astype(np.float32), faces=faces)
-        means = np.asarray(gs.means)
-        colors = np.asarray(gs.colors)
         ok = np.asarray(gs.valid) & (np.asarray(gs.opacities) > 0.01)
         if ok.any() and len(verts_obj):
-            m = means[ok]
-            c = colors[ok]
-            # nearest-gaussian color per vertex (chunked host knn)
-            d2 = ((verts_obj[:, None, :] - m[None, :3000, :]) ** 2).sum(-1)
-            mesh.colors = c[: 3000][np.argmin(d2, axis=1)].astype(np.float32)
+            if bake == "render":
+                from labelany3d_tpu.models.trellis.bake import bake_vertex_colors
+
+                mesh.colors = bake_vertex_colors(mesh, gs)
+            else:
+                m = np.asarray(gs.means)[ok]
+                c = np.asarray(gs.colors)[ok]
+                d2 = ((verts_obj[:, None, :] - m[None, :3000, :]) ** 2).sum(-1)
+                mesh.colors = c[:3000][np.argmin(d2, axis=1)].astype(np.float32)
         # Center to [-0.5, 0.5] like generative reconstructors' outputs.
         mesh.vertices = mesh.vertices - 0.5
         return mesh
