@@ -55,7 +55,6 @@ class LayoutStage:
         if renderer is None:
             # Scale the canonical 512^2 / fx=560.44 render camera to the
             # configured resolution (smaller for CPU dry runs).
-            import numpy as _np
             from labelany3d_tpu.registration.cameras import RENDER_K, RENDER_SIZE
 
             s = cfg.render_size / RENDER_SIZE
