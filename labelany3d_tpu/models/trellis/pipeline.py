@@ -82,6 +82,15 @@ class TrellisPipeline:
         self.mesh_decoder = SLatMeshDecoder(c.mesh)
         self.params: dict | None = None
         self._seed = seed
+        self._jit_cache: dict = {}
+
+    def _jitted(self, name: str, fn):
+        """Cache jitted stage programs (one trace per pipeline instance)."""
+        if name not in self._jit_cache:
+            import jax as _jax
+
+            self._jit_cache[name] = _jax.jit(fn)
+        return self._jit_cache[name]
 
     # -- parameters -------------------------------------------------------
     def init_params(self, key=None) -> dict:
@@ -142,44 +151,56 @@ class TrellisPipeline:
     def get_cond(self, image: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(cond_tokens, uncond_tokens); uncond = zeros (CFG null cond,
         parity with :120-162)."""
-        tokens = self.cond_model.apply({"params": self.params["cond"]}, image[None])["tokens"]
+        fn = self._jitted(
+            "cond",
+            lambda p, im: self.cond_model.apply({"params": p}, im[None])["tokens"],
+        )
+        tokens = fn(self.params["cond"], image)
         return tokens, jnp.zeros_like(tokens)
 
     def sample_sparse_structure(self, cond, uncond, key):
         c = self.cfg
-        r3 = c.structure.latent_res**3
-        noise = jax.random.normal(key, (1, r3, c.structure.latent_channels))
 
-        def model_fn(x, t, tok):
-            return self.ss_model.apply({"params": self.params["ss"]}, x, t, tok)
+        def program(p_ss, p_dec, cond, uncond, key):
+            r3 = c.structure.latent_res**3
+            noise = jax.random.normal(key, (1, r3, c.structure.latent_channels))
 
-        vel = cfg_velocity(model_fn, cond, uncond, c.ss_sampler.cfg_strength)
-        latent = flow_euler_sample(vel, noise, c.ss_sampler)
-        logits = self.ss_decoder.apply({"params": self.params["ss_dec"]}, latent)
-        coords, valid = decode_occupancy(logits, c.max_voxels)
-        return coords, valid
+            def model_fn(x, t, tok):
+                return self.ss_model.apply({"params": p_ss}, x, t, tok)
+
+            vel = cfg_velocity(model_fn, cond, uncond, c.ss_sampler.cfg_strength)
+            latent = flow_euler_sample(vel, noise, c.ss_sampler)
+            logits = self.ss_decoder.apply({"params": p_dec}, latent)
+            return decode_occupancy(logits, c.max_voxels)
+
+        fn = self._jitted("sparse_structure", program)
+        return fn(self.params["ss"], self.params["ss_dec"], cond, uncond, key)
 
     def sample_slat(self, coords, valid, cond, uncond, key):
         c = self.cfg
-        n = coords.shape[1]
-        noise = jax.random.normal(key, (1, n, c.slat.latent_channels))
 
-        def model_fn(x, t, tok):
-            return self.slat_model.apply(
-                {"params": self.params["slat"]}, x, coords, valid, t, tok
-            )
+        def program(p, coords, valid, cond, uncond, key):
+            n = coords.shape[1]
+            noise = jax.random.normal(key, (1, n, c.slat.latent_channels))
 
-        vel = cfg_velocity(model_fn, cond, uncond, c.slat_sampler.cfg_strength)
-        return flow_euler_sample(vel, noise, c.slat_sampler)
+            def model_fn(x, t, tok):
+                return self.slat_model.apply({"params": p}, x, coords, valid, t, tok)
+
+            vel = cfg_velocity(model_fn, cond, uncond, c.slat_sampler.cfg_strength)
+            return flow_euler_sample(vel, noise, c.slat_sampler)
+
+        fn = self._jitted("slat", program)
+        return fn(self.params["slat"], coords, valid, cond, uncond, key)
 
     def decode(self, slat, coords, valid):
-        gs = self.gs_decoder.apply(
-            {"params": self.params["gs"]}, slat[0], coords[0], valid[0]
+        fn = self._jitted(
+            "decode",
+            lambda pg, pm, s, cs, v: (
+                self.gs_decoder.apply({"params": pg}, s[0], cs[0], v[0]),
+                self.mesh_decoder.apply({"params": pm}, s[0], cs[0], v[0]),
+            ),
         )
-        sdf = self.mesh_decoder.apply(
-            {"params": self.params["mesh"]}, slat[0], coords[0], valid[0]
-        )
-        return gs, sdf
+        return fn(self.params["gs"], self.params["mesh"], slat, coords, valid)
 
     def to_glb_mesh(self, gs, sdf, bake: str = "render") -> Mesh:
         """Surface extraction + color bake from the Gaussians.

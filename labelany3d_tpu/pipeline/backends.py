@@ -47,6 +47,7 @@ class JaxDepthBackend:
         params_moge=None,
         params_depth_pro=None,
         seed: int = 0,
+        use_mesh: bool | None = None,
     ):
         self.moge_cfg = moge_cfg or MoGeConfig()
         self.dp_cfg = depth_pro_cfg or DepthProConfig()
@@ -56,6 +57,15 @@ class JaxDepthBackend:
         self._params_dp = params_depth_pro
         self._seed = seed
         self._jitted = {}
+        # Data-parallel over all local devices when more than one is visible
+        # (the batch axis shards; the partitioner replicates params).
+        if use_mesh is None:
+            use_mesh = jax.device_count() > 1
+        self._mesh = None
+        if use_mesh and jax.device_count() > 1:
+            from labelany3d_tpu.parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(data=-1, model=1)
 
     @staticmethod
     def _cast_inference_params(params):
@@ -105,8 +115,12 @@ class JaxDepthBackend:
     def infer(self, images: np.ndarray) -> dict:
         b, h, w, _ = images.shape
         self._ensure_params(h, w)
-        out = self._step(h, w)(self._params_moge, self._params_dp, jnp.asarray(images, jnp.float32))
-        return out
+        x = jnp.asarray(images, jnp.float32)
+        if self._mesh is not None and b % self._mesh.shape["data"] == 0:
+            from labelany3d_tpu.parallel.mesh import shard_batch
+
+            (x,) = shard_batch(self._mesh, (x,))
+        return self._step(h, w)(self._params_moge, self._params_dp, x)
 
 
 class FakeDepthBackend:

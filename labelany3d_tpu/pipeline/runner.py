@@ -22,7 +22,7 @@ from __future__ import annotations
 import argparse
 
 from labelany3d_tpu.data.coconut import CoconutLoader, get_dataset_paths
-from labelany3d_tpu.pipeline.backends import JaxDepthBackend, register_default_backends
+from labelany3d_tpu.pipeline.backends import register_default_backends
 from labelany3d_tpu.pipeline.config import PipelineConfig, load_config
 from labelany3d_tpu.pipeline.stages import (
     BoxStage,
@@ -69,12 +69,9 @@ def main(argv=None) -> int:
     register_default_backends()
 
     def run_depth():
-        preset = str(cfg_node.models.moge.preset)
-        backend = JaxDepthBackend() if preset == "large" else None
-        if backend is None:
-            from labelany3d_tpu.models.registry import get_model
+        from labelany3d_tpu.models.registry import get_model
 
-            backend = get_model("depth", preset=preset)
+        backend = get_model("depth", preset=str(cfg_node.models.moge.preset))
         stage = DepthStage(cfg, backend, loader, source, args.save_dir, args.split)
         n = stage.run(args.start_index, args.end_index)
         print(f"[depth] processed {n} images")

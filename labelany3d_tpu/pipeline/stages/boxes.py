@@ -75,6 +75,13 @@ class BoxStage:
                     )
                 scene.write_bbox3d(bbox_list)
                 scene.write_bboxes2d(bboxes_xyxy)
+                try:  # overlay parity (draw_cube, stage-7 artifact)
+                    from labelany3d_tpu.utils.visualization import draw_cube_overlay
+
+                    if scene.input_image.exists():
+                        draw_cube_overlay(scene)
+                except Exception as e:
+                    print(f"overlay failed: {e}")
                 done += 1
             pending.clear()
 
