@@ -98,6 +98,14 @@ class SpaceCarveReconstruction:
         cfg = self.cfg
         alphas, rgbs, Rs, ts = [], [], [], []
         base = np.asarray(crop_rgba)
+        # Normalize every view to one resolution (novel-view backends render
+        # at their own size; the input crop may be 512^2).
+        target = getattr(self.novel_views, "image_size", None) or base.shape[0]
+        if base.shape[0] != target or base.shape[1] != target:
+            from PIL import Image
+
+            b8 = base if base.dtype == np.uint8 else (np.clip(base, 0, 1) * 255).astype(np.uint8)
+            base = np.asarray(Image.fromarray(b8).resize((target, target), Image.NEAREST))
         h, w = base.shape[:2]
         for azim in cfg.views_azimuths:
             if azim == 0.0 or self.novel_views is None:

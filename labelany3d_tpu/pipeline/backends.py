@@ -154,10 +154,13 @@ class JaxMatcherBackend:
     then reports ok=False and the layout stage degrades gracefully.
     """
 
-    def __init__(self, cfg=None, params=None, seed: int = 0, image_size: int = 512):
+    def __init__(self, cfg=None, params=None, seed: int = 0, image_size: int = 512,
+                 tiny: bool = True):
         from labelany3d_tpu.models.matcher import MatcherConfig, TwoViewMatcher
 
-        self.cfg = cfg or MatcherConfig.tiny_test()
+        # tiny default until converted MASt3R-equivalent weights exist —
+        # random full-size descriptors match no better and cost 100x.
+        self.cfg = cfg or (MatcherConfig.tiny_test() if tiny else MatcherConfig())
         self.model = TwoViewMatcher(self.cfg)
         self.params = params
         self.image_size = image_size
@@ -231,22 +234,30 @@ def register_default_backends() -> None:
             from labelany3d_tpu.models.diffusion import Zero123NovelView
             from labelany3d_tpu.models.spacecarve import SpaceCarveReconstruction
 
-            nv = Zero123NovelView(tiny=bool(kw.get("tiny")))
+            tiny = bool(kw.get("tiny"))
+            nv = Zero123NovelView(tiny=tiny, image_size=64 if tiny else 256)
             return SpaceCarveReconstruction(novel_views=nv)
+        if backend != "silhouette":
+            raise ValueError(
+                f"Unknown obj_rec backend '{backend}' "
+                "(choose trellis | hunyuan3d | silhouette)"
+            )
         return SilhouetteExtrude()
 
     def make_enhance(backend: str = "bicubic", **kw):
         if backend == "invsr":
             from labelany3d_tpu.models.diffusion import InvSREnhance
 
-            return InvSREnhance(tiny=bool(kw.get("tiny")))
+            tiny = bool(kw.get("tiny"))
+            return InvSREnhance(tiny=tiny, image_size=64 if tiny else 256)
         return BicubicEnhance()
 
     def make_completion(backend: str = "none", **kw):
         if backend == "our":
             from labelany3d_tpu.models.diffusion import AmodalCompletion
 
-            return AmodalCompletion(tiny=bool(kw.get("tiny")))
+            tiny = bool(kw.get("tiny"))
+            return AmodalCompletion(tiny=tiny, image_size=64 if tiny else 256)
         return PassthroughCompletion()
 
     def make_elevation(backend: str = "zero", **kw):
@@ -255,7 +266,8 @@ def register_default_backends() -> None:
             from labelany3d_tpu.models.elevation import MatchingElevationEstimator
             from labelany3d_tpu.registration.cameras import RENDER_K
 
-            nv = Zero123NovelView(tiny=bool(kw.get("tiny")))
+            tiny = bool(kw.get("tiny"))
+            nv = Zero123NovelView(tiny=tiny, image_size=64 if tiny else 256)
             matcher = JaxMatcherBackend()
 
             def pair_match(img0, img1):

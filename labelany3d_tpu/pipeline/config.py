@@ -97,6 +97,7 @@ DEFAULT_CONFIG: dict = {
         "moge": {"preset": "large"},
         "depth_pro": {"preset": "large", "input_size": 768},
         "use_fakes": False,             # tests flip this on
+        "tiny": False,                  # tiny model configs (CPU dry runs)
     },
 }
 

@@ -75,18 +75,21 @@ def main(argv=None) -> int:
         stage = DepthStage(cfg, backend, loader, source, args.save_dir, args.split)
         n = stage.run(args.start_index, args.end_index)
         print(f"[depth] processed {n} images")
+        return n
 
     def run_crops():
         n = CropStage(cfg, loader, source, args.save_dir, args.split).run(
             args.start_index, args.end_index
         )
         print(f"[crops] processed {n} images")
+        return n
 
     def run_boxes():
         n = BoxStage(cfg, loader, args.save_dir, args.split).run(
             args.start_index, args.end_index
         )
         print(f"[boxes] processed {n} images")
+        return n
 
     def run_export():
         out = ExportStage(args.save_dir, args.split).run()
@@ -98,6 +101,8 @@ def main(argv=None) -> int:
     def _backend(name, **kw):
         from labelany3d_tpu.models.registry import get_model
 
+        if bool(cfg_node.models.get("tiny", False)):
+            kw.setdefault("tiny", True)
         return get_model(name, **kw)
 
     def run_enhance():
@@ -106,6 +111,7 @@ def main(argv=None) -> int:
         n = EnhanceStage(cfg, loader, source, args.save_dir, args.split,
                          backend=be).run(args.start_index, args.end_index)
         print(f"[enhance] processed {n} images")
+        return n
 
     def run_completion():
         # Parity: run.amodal_completion 'our' | null (src/configs/image.yaml)
@@ -114,12 +120,14 @@ def main(argv=None) -> int:
         n = CompletionStage(cfg, loader, args.save_dir, args.split,
                             backend=be).run(args.start_index, args.end_index)
         print(f"[completion] processed {n} images")
+        return n
 
     def run_elevation():
         be = _backend("elevation", backend=str(cfg_node.run.get("elevation", "zero")))
         n = ElevationStage(cfg, loader, args.save_dir, args.split,
                            backend=be).run(args.start_index, args.end_index)
         print(f"[elevation] processed {n} images")
+        return n
 
     def run_reconstruction():
         # Parity: run.obj_rec 'trellis' | 'hunyuan3d' (+ 'silhouette' here)
@@ -127,11 +135,13 @@ def main(argv=None) -> int:
         n = ReconstructionStage(cfg, loader, args.save_dir, args.split,
                                 backend=be).run(args.start_index, args.end_index)
         print(f"[reconstruction] processed {n} images")
+        return n
 
     def run_layout():
         n = LayoutStage(cfg, loader, args.save_dir, args.split,
                         matcher=_backend("matcher")).run(args.start_index, args.end_index)
         print(f"[layout] processed {n} images")
+        return n
 
     dispatch = {
         "depth": [run_depth],
@@ -147,8 +157,15 @@ def main(argv=None) -> int:
         "all": [run_depth, run_enhance, run_crops, run_completion,
                 run_elevation, run_reconstruction, run_layout, run_export],
     }
+    from labelany3d_tpu.utils.profiling import GLOBAL_TIMER
+
     for fn in dispatch[args.stage]:
-        fn()
+        name = fn.__name__.replace("run_", "")
+        with GLOBAL_TIMER.measure(name):
+            n = fn()
+        if isinstance(n, int):
+            GLOBAL_TIMER.add_items(name, n)
+    print(GLOBAL_TIMER.report())
     return 0
 
 
