@@ -41,6 +41,7 @@ class ViTConfig:
     use_class_token: bool = True
     layerscale_init: float | None = 1e-5
     swiglu: bool = False
+    pos_embed: str = "learned"      # 'learned' | 'rope2d' (CroCo/MASt3R) 
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     out_indices: Sequence[int] = ()  # intermediate block outputs to return
@@ -90,7 +91,7 @@ class Attention(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rope=None):
         cfg = self.cfg
         head_dim = cfg.width // cfg.num_heads
         qkv = nn.Dense(3 * cfg.width, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="qkv")(x)
@@ -99,7 +100,16 @@ class Attention(nn.Module):
         def heads(t):
             return t.reshape(t.shape[:-1] + (cfg.num_heads, head_dim))
 
-        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+        qh, kh, vh = heads(q), heads(k), heads(v)
+        if rope is not None:
+            # 2D rotary embeddings on q/k (curope-equivalent; patch tokens
+            # only — prefix tokens get identity rotation via zero positions).
+            from labelany3d_tpu.ops.rope2d import apply_rope_2d
+
+            cos, sin = rope
+            qh = apply_rope_2d(qh, cos, sin).astype(cfg.dtype)
+            kh = apply_rope_2d(kh, cos, sin).astype(cfg.dtype)
+        out = jax.nn.dot_product_attention(qh, kh, vh)
         out = out.reshape(x.shape[:-1] + (cfg.width,))
         return nn.Dense(cfg.width, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="proj")(out)
 
@@ -121,10 +131,10 @@ class Block(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rope=None):
         cfg = self.cfg
         h = nn.LayerNorm(dtype=jnp.float32, param_dtype=cfg.param_dtype, name="norm1")(x)
-        h = Attention(cfg, name="attn")(h.astype(cfg.dtype))
+        h = Attention(cfg, name="attn")(h.astype(cfg.dtype), rope=rope)
         if cfg.layerscale_init is not None:
             h = LayerScale(cfg.width, cfg.layerscale_init, cfg.param_dtype, name="ls1")(h)
         x = x + h
@@ -164,12 +174,23 @@ class ViT(nn.Module):
         )(images.astype(cfg.dtype))
         x = x.reshape(b, gh * gw, cfg.width)
 
-        pos = self.param(
-            "pos_embed",
-            nn.initializers.normal(0.02, dtype=jnp.float32),
-            (1, gh, gw, cfg.width),
-        )
-        x = x + pos.reshape(1, gh * gw, cfg.width).astype(cfg.dtype)
+        rope = None
+        if cfg.pos_embed == "learned":
+            pos = self.param(
+                "pos_embed",
+                nn.initializers.normal(0.02, dtype=jnp.float32),
+                (1, gh, gw, cfg.width),
+            )
+            x = x + pos.reshape(1, gh * gw, cfg.width).astype(cfg.dtype)
+        elif cfg.pos_embed == "rope2d":
+            # CroCo/MASt3R-style rotary positions applied inside attention;
+            # prefix tokens get position (0, 0) == identity rotation.
+            from labelany3d_tpu.ops.rope2d import rope_2d_freqs
+
+            gy, gx = jnp.meshgrid(jnp.arange(gh), jnp.arange(gw), indexing="ij")
+            patch_pos = jnp.stack([gy, gx], axis=-1).reshape(1, gh * gw, 2)
+        else:
+            raise ValueError(f"Unknown pos_embed mode: {cfg.pos_embed}")
 
         n_prefix = 0
         prefix_tokens = []
@@ -189,10 +210,18 @@ class ViT(nn.Module):
         if prefix_tokens:
             x = jnp.concatenate(prefix_tokens + [x], axis=1)
 
+        if cfg.pos_embed == "rope2d":
+            from labelany3d_tpu.ops.rope2d import rope_2d_freqs
+
+            all_pos = jnp.concatenate(
+                [jnp.zeros((1, n_prefix, 2), jnp.int32), patch_pos], axis=1
+            )
+            rope = rope_2d_freqs(cfg.width // cfg.num_heads, all_pos)
+
         hiddens = []
         want = set(i % cfg.depth for i in cfg.out_indices)
         for i in range(cfg.depth):
-            x = Block(cfg, name=f"block{i}")(x)
+            x = Block(cfg, name=f"block{i}")(x, rope=rope)
             if i in want:
                 hiddens.append(x[:, n_prefix:])
 

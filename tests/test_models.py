@@ -141,3 +141,34 @@ def test_registry_override_protection():
     register_model("_prot", lambda: 2, override=True)
     assert get_model("_prot") == 2
     unload_all_models()
+
+
+def test_vit_rope2d_mode():
+    cfg = ViTConfig.tiny_test(pos_embed="rope2d", use_class_token=True)
+    model = ViT(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 24, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    assert "pos_embed" not in params  # no learned positions in rope mode
+    out = model.apply({"params": params}, x)
+    assert out["tokens"].shape == (1, (24 // cfg.patch_size) * (32 // cfg.patch_size), cfg.width)
+    assert np.isfinite(np.asarray(out["tokens"], np.float32)).all()
+    # RoPE's defining property: attention depends on *relative* positions,
+    # so translating the input translates the output (up to the wrapped
+    # column and the global cls token).
+    x2 = jnp.roll(x, cfg.patch_size, axis=2)
+    out2 = model.apply({"params": params}, x2)
+    grid = out["tokens"].reshape(1, 3, 4, -1)
+    grid2 = out2["tokens"].reshape(1, 3, 4, -1)
+    rolled = jnp.roll(grid, 1, axis=2)
+    interior = np.asarray(grid2[:, :, 1:3], np.float32)
+    expect = np.asarray(rolled[:, :, 1:3], np.float32)
+    np.testing.assert_allclose(interior, expect, atol=5e-2)
+    # whereas a learned-pos model is NOT translation-equivariant
+    cfg_l = ViTConfig.tiny_test(pos_embed="learned")
+    model_l = ViT(cfg_l)
+    params_l = model_l.init(jax.random.PRNGKey(1), x)["params"]
+    o1 = model_l.apply({"params": params_l}, x)["tokens"].reshape(1, 3, 4, -1)
+    o2 = model_l.apply({"params": params_l}, x2)["tokens"].reshape(1, 3, 4, -1)
+    diff = np.abs(np.asarray(o2[:, :, 1:3], np.float32) -
+                  np.asarray(jnp.roll(o1, 1, axis=2)[:, :, 1:3], np.float32)).max()
+    assert diff > 5e-2
