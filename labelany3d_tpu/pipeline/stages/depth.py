@@ -33,6 +33,7 @@ class DepthStage:
         image_source: ImageSource,
         save_dir: str,
         split: str,
+        write_ply: bool = False,
     ):
         self.cfg = cfg
         self.backend = backend
@@ -40,6 +41,7 @@ class DepthStage:
         self.image_source = image_source
         self.save_dir = save_dir
         self.split = split
+        self.write_ply = write_ply
         self._key = jax.random.PRNGKey(cfg.seed)
 
     def _scene(self, image_info: dict) -> SceneDir:
@@ -79,6 +81,16 @@ class DepthStage:
                     from PIL import Image
 
                     Image.fromarray(img).save(scene.input_image)
+                if self.write_ply:
+                    # depth_scene.ply artifact parity (depth.py:157): the
+                    # colored scene point cloud at original resolution.
+                    from labelany3d_tpu.data.meshio import save_ply_points
+                    from labelany3d_tpu.geometry.backproject import depth_to_points
+
+                    pts = np.asarray(depth_to_points(depth_full, K)).reshape(-1, 3)
+                    save_ply_points(
+                        scene.root / "depth_scene.ply", pts, img.reshape(-1, 3)
+                    )
                 done += 1
             pending.clear()
 

@@ -133,3 +133,47 @@ def test_rasterize_behind_camera_culled():
     K = jnp.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
     out = rasterize_mesh(verts, faces, K, (64, 64), tile=16, faces_per_tile=8)
     assert (np.asarray(out.depth) == -1.0).all()
+
+
+def test_glb_strided_accessor(tmp_path):
+    """GLB with interleaved (byteStride) vertex data must load correctly."""
+    import json as _json
+    import struct
+
+    # Interleave position (12B) + padding (4B) per vertex: stride 16.
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    interleaved = b""
+    for v in verts:
+        interleaved += v.tobytes() + b"\x00\x00\x00\x00"
+    indices = np.array([0, 1, 2], np.uint32).tobytes()
+    bin_blob = interleaved + indices
+    bin_blob += b"\x00" * ((-len(bin_blob)) % 4)
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}, "indices": 1, "mode": 4}]}],
+        "buffers": [{"byteLength": len(bin_blob)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(interleaved), "byteStride": 16},
+            {"buffer": 0, "byteOffset": len(interleaved), "byteLength": len(indices)},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5125, "count": 3, "type": "SCALAR"},
+        ],
+    }
+    js = _json.dumps(gltf).encode()
+    js += b" " * ((-len(js)) % 4)
+    path = tmp_path / "strided.glb"
+    with open(path, "wb") as f:
+        total = 12 + 8 + len(js) + 8 + len(bin_blob)
+        f.write(struct.pack("<III", 0x46546C67, 2, total))
+        f.write(struct.pack("<II", len(js), 0x4E4F534A))
+        f.write(js)
+        f.write(struct.pack("<II", len(bin_blob), 0x004E4942))
+        f.write(bin_blob)
+    mesh = load_glb(path)
+    np.testing.assert_allclose(mesh.vertices, verts, atol=1e-6)
+    np.testing.assert_array_equal(mesh.faces, [[0, 1, 2]])
