@@ -282,3 +282,37 @@ def test_yaw_minarea_pallas_interpret_matches_jnp(rng):
 
     for i in range(4):
         assert area(pts[i], yaws_p[i]) <= area(pts[i], yaws_j[i]) * 1.01
+
+
+def test_serialized_attention_shift_moves_window_boundary(rng):
+    from labelany3d_tpu.ops.attention import serialized_attention
+
+    n, h, d = 32, 1, 4
+    q = rng.normal(size=(n, h, d)).astype(np.float32)
+    coords = np.zeros((n, 3), np.int32)
+    coords[:, 0] = np.arange(n)
+    valid = np.ones(n, bool)
+    base = dict(window_size=16)
+    out0 = np.asarray(serialized_attention(
+        jnp.asarray(q), jnp.asarray(q), jnp.asarray(q),
+        jnp.asarray(coords), jnp.asarray(valid), shift=0, **base))
+    out8 = np.asarray(serialized_attention(
+        jnp.asarray(q), jnp.asarray(q), jnp.asarray(q),
+        jnp.asarray(coords), jnp.asarray(valid), shift=8, **base))
+    # With shift=8 the windows are [8:24) and [24:8) (wrapped): token 12
+    # now attends with tokens 8..23 instead of 0..15 -> output changes.
+    assert np.abs(out0[12] - out8[12]).max() > 1e-4
+    # Determinism per configuration.
+    out8b = np.asarray(serialized_attention(
+        jnp.asarray(q), jnp.asarray(q), jnp.asarray(q),
+        jnp.asarray(coords), jnp.asarray(valid), shift=8, **base))
+    np.testing.assert_allclose(out8, out8b, atol=0)
+
+
+def test_auction_tied_benefits(rng):
+    from labelany3d_tpu.export.hungarian import auction_assignment
+
+    benefit = np.ones((4, 6), np.float32)  # fully tied
+    out = np.asarray(auction_assignment(jnp.asarray(benefit), eps=1e-3))
+    assert (out >= 0).all()
+    assert len(set(out.tolist())) == 4  # still a valid injection

@@ -149,3 +149,23 @@ def test_recover_focal_shift_batched_with_mask(rng):
     focal, shift = recover_focal_shift(pts, mask)
     np.testing.assert_allclose(np.asarray(shift), shifts, atol=5e-3)
     np.testing.assert_allclose(np.asarray(focal), [0.9, 0.9], atol=5e-3)
+
+
+def test_pnp_planar_points_still_reasonable(rng):
+    """All object points on one plane (the hull of a crop's front face):
+    DLT degrades on planar scenes; RANSAC + GN must still return a pose
+    whose reprojection error is small (pose ambiguity may flip, but the
+    projection itself must fit)."""
+    K = np.array([[560.44, 0, 256], [0, 560.44, 256], [0, 0, 1]], np.float32)
+    R = rotate_y_np(0.3)
+    t = np.array([0.1, 0.0, 2.0])
+    obj = rng.uniform(-0.5, 0.5, (100, 3))
+    obj[:, 2] = 0.0  # planar
+    cam = obj @ R.T + t
+    uv = (cam @ K.T)[:, :2] / (cam @ K.T)[:, 2:]
+    res = solve_pnp_ransac(
+        jnp.asarray(obj, jnp.float32), jnp.asarray(uv, jnp.float32),
+        jnp.asarray(K), jnp.ones(100, bool), jax.random.PRNGKey(0),
+    )
+    assert bool(res.ok)
+    assert float(res.error) < 2.0  # projection fits even if pose is the mirror
