@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split", default="val")
     p.add_argument("--save_dir", default="../experimental_results/COCO/")
     p.add_argument("--dataset_root", default="../dataset/coco")
+    p.add_argument(
+        "--wild", action="store_true",
+        help="in-the-wild mode: --dataset_root is a plain image folder; "
+             "instances come from the wild segmentation stack instead of "
+             "COCONUT annotations (reference stack E)",
+    )
     return p
 
 
@@ -61,8 +67,16 @@ def main(argv=None) -> int:
     cfg_node = load_config(args.config, extras)
     cfg = PipelineConfig.from_node(cfg_node)
 
-    images_root, annotations_dir = get_dataset_paths(args.split, args.dataset_root)
-    loader = CoconutLoader(split=args.split, annotations_dir=annotations_dir)
+    provider = None
+    if args.wild:
+        from labelany3d_tpu.data.sources import DirectoryLoader, WildInstanceProvider
+
+        images_root = args.dataset_root
+        loader = DirectoryLoader(images_root)
+        provider = WildInstanceProvider()
+    else:
+        images_root, annotations_dir = get_dataset_paths(args.split, args.dataset_root)
+        loader = CoconutLoader(split=args.split, annotations_dir=annotations_dir)
     args.end_index = min(args.end_index, len(loader))
     args.start_index = min(args.start_index, args.end_index)
     source = FileImageSource(images_root)
@@ -78,16 +92,14 @@ def main(argv=None) -> int:
         return n
 
     def run_crops():
-        n = CropStage(cfg, loader, source, args.save_dir, args.split).run(
-            args.start_index, args.end_index
-        )
+        n = CropStage(cfg, loader, source, args.save_dir, args.split,
+                      instance_provider=provider).run(args.start_index, args.end_index)
         print(f"[crops] processed {n} images")
         return n
 
     def run_boxes():
-        n = BoxStage(cfg, loader, args.save_dir, args.split).run(
-            args.start_index, args.end_index
-        )
+        n = BoxStage(cfg, loader, args.save_dir, args.split,
+                     instance_provider=provider).run(args.start_index, args.end_index)
         print(f"[boxes] processed {n} images")
         return n
 

@@ -18,7 +18,7 @@ import os
 import jax
 import numpy as np
 
-from labelany3d_tpu.data.coconut import read_instances, xywh_to_xyxy
+from labelany3d_tpu.data.coconut import xywh_to_xyxy
 from labelany3d_tpu.pipeline.config import PipelineConfig
 from labelany3d_tpu.pipeline.labeling import label_instances
 from labelany3d_tpu.pipeline.scene import SceneDir, scene_dir_name
@@ -26,11 +26,15 @@ from labelany3d_tpu.pipeline.stages.common import pad_instances, resize_nearest
 
 
 class BoxStage:
-    def __init__(self, cfg: PipelineConfig, loader, save_dir: str, split: str):
+    def __init__(self, cfg: PipelineConfig, loader, save_dir: str, split: str,
+                 instance_provider=None):
+        from labelany3d_tpu.data.sources import CoconutInstanceProvider
+
         self.cfg = cfg
         self.loader = loader
         self.save_dir = save_dir
         self.split = split
+        self.provider = instance_provider or CoconutInstanceProvider(loader)
         self._key = jax.random.PRNGKey(cfg.seed + 7)
         self._step = jax.jit(
             lambda depth, K, masks, key: label_instances(
@@ -90,8 +94,12 @@ class BoxStage:
             scene = self._scene(info)
             if scene.boxes_done() or not scene.depth_done():
                 continue
-            annos = self.loader.get_annotations(info["id"])
-            inst = read_instances(annos, (info["width"], info["height"]))
+            image = None
+            if scene.input_image.exists():
+                from PIL import Image
+
+                image = np.asarray(Image.open(scene.input_image).convert("RGB"))
+            inst = self.provider.instances(info, image)
             if len(inst) == 0:
                 continue
             depth = scene.read_depth()

@@ -17,7 +17,7 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from labelany3d_tpu.data.coconut import read_instances, xywh_to_xyxy
+from labelany3d_tpu.data.coconut import xywh_to_xyxy
 from labelany3d_tpu.geometry.crops import crop_object_params, crop_resample
 from labelany3d_tpu.geometry.masks import binary_opening, upscale_mask_nearest
 from labelany3d_tpu.pipeline.config import PipelineConfig
@@ -35,7 +35,10 @@ class CropStage:
         split: str,
         crop_size: int = 512,
         min_mask_pixels: int = 6400,
+        instance_provider=None,
     ):
+        from labelany3d_tpu.data.sources import CoconutInstanceProvider
+
         self.cfg = cfg
         self.loader = loader
         self.image_source = image_source
@@ -43,6 +46,7 @@ class CropStage:
         self.split = split
         self.crop_size = crop_size
         self.min_mask_pixels = min_mask_pixels
+        self.provider = instance_provider or CoconutInstanceProvider(loader)
 
     def run(self, start_index: int, end_index: int) -> int:
         from PIL import Image
@@ -52,8 +56,8 @@ class CropStage:
             info = self.loader.get_image_by_index(idx)
             name = scene_dir_name(info["file_name"])
             scene = SceneDir(os.path.join(self.save_dir, self.split, name)).ensure()
-            annos = self.loader.get_annotations(info["id"])
-            inst = read_instances(annos, (info["width"], info["height"]))
+            base_image = self.image_source.get(info)
+            inst = self.provider.instances(info, base_image)
             if len(inst) == 0:
                 continue
 
@@ -62,7 +66,7 @@ class CropStage:
                 image = np.asarray(Image.open(scene.enhanced_image).convert("RGB"))
                 factor = 4  # reference upscales masks 4x to the enhanced res
             else:
-                image = self.image_source.get(info)
+                image = base_image
                 factor = 1
 
             bboxes_xyxy = xywh_to_xyxy(inst.bboxes)
