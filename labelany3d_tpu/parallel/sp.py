@@ -21,7 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def sp_attention_gathered(q, k, v, axis_name: str = "data"):
