@@ -192,6 +192,7 @@ def estimate_bbox(
     num_angles: int = 128,
     f16_vertices: bool = True,
     compat_center_bug: bool = False,
+    yaw_override: jnp.ndarray | None = None,
 ) -> BoxEstimate:
     """Fit a ground-aligned oriented 3D box to one point set; see module doc.
 
@@ -202,6 +203,9 @@ def estimate_bbox(
         as produced by stage 7 (`src/batch_scripts/whole.py:121-122`).
       method: 'pca' (default, reference default) or 'minarea' (the
         convex-hull/rotating-calipers equivalent).
+      yaw_override: precomputed yaw(s) in the upright frame — used by
+        `fit_boxes_batch(method='minarea_pallas')`, which runs the Pallas
+        VMEM yaw kernel over the whole instance batch first.
     """
     points = jnp.asarray(points, jnp.float32)
     finite = jnp.all(jnp.isfinite(points), axis=-1)
@@ -213,7 +217,9 @@ def estimate_bbox(
     # Reference: rotated_pc = in_pc @ R_g == R_g^T applied to each point.
     upright = jnp.einsum("...nj,...ji->...ni", safe_pts, r_g)
 
-    if method == "pca":
+    if yaw_override is not None:
+        yaw = jnp.asarray(yaw_override, jnp.float32)
+    elif method == "pca":
         yaw = estimate_yaw_pca(upright[..., [0, 2]], valid)
     elif method in ("minarea", "convex_hull"):
         yaw = estimate_yaw_minarea(upright[..., [0, 2]], valid, num_angles=num_angles)
@@ -268,7 +274,32 @@ def fit_boxes_batch(
     This is the batched replacement for the reference's per-object loop in
     `src/util_3dbox.py:231-294`; wrap in `jax.jit` (or a pjit'ed pipeline
     step) so every instance in the image batch fits in one XLA program.
+
+    method='minarea_pallas' runs the min-area yaw search in the Pallas
+    VMEM kernel over the whole batch first (TPU only; ~12x the jnp
+    two-stage search), then finishes extents/vertices as usual.
     """
+    if method == "minarea_pallas":
+        from labelany3d_tpu.ops.boxfit_pallas import yaw_minarea_pallas
+
+        points = jnp.asarray(points, jnp.float32)
+        finite = jnp.all(jnp.isfinite(points), axis=-1)
+        v = jnp.asarray(valid, bool) & finite
+        safe = jnp.where(v[..., None], points, 0.0)
+        r_g = jax.vmap(lambda u: upright_rotation(u))(up_vectors) if up_vectors is not None \
+            else jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), points.shape[:1] + (3, 3))
+        upright = jnp.einsum("inj,ijk->ink", safe, r_g)  # R_g^T per point
+        yaws = yaw_minarea_pallas(upright[..., [0, 2]], v)
+        fn_y = lambda p, vv, u, y: estimate_bbox(
+            p, vv, u, method="minarea", yaw_override=y, **kwargs
+        )
+        ups = up_vectors if up_vectors is not None else jnp.zeros((points.shape[0], 3))
+        if up_vectors is None:
+            fn_y = lambda p, vv, u, y: estimate_bbox(
+                p, vv, None, method="minarea", yaw_override=y, **kwargs
+            )
+        return jax.vmap(fn_y)(points, valid, ups, yaws)
+
     fn = lambda p, v, u: estimate_bbox(p, v, u, method=method, **kwargs)
     if up_vectors is None:
         fn_nu = lambda p, v: estimate_bbox(p, v, None, method=method, **kwargs)

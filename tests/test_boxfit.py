@@ -135,3 +135,30 @@ def test_estimate_bbox_empty_is_flagged():
     pts = jnp.zeros((16, 3))
     est = estimate_bbox(pts, jnp.zeros(16, bool))
     assert not bool(est.ok)
+
+
+def test_fit_boxes_batch_minarea_pallas_interpret(rng, monkeypatch):
+    """The Pallas-yaw batched path matches the jnp minarea path (interpret
+    mode on CPU)."""
+    import labelany3d_tpu.ops.boxfit_pallas as bp
+
+    orig = bp.yaw_minarea_pallas
+    monkeypatch.setattr(
+        bp, "yaw_minarea_pallas",
+        lambda p, v, num_angles=512, interpret=False: orig(p, v, num_angles=256, interpret=True),
+    )
+    pts = np.stack([_random_box_cloud(rng, yaw=y, n=128) for y in (0.3, 1.0, -0.5)])
+    valid = np.ones(pts.shape[:2], bool)
+    out_p = fit_boxes_batch(jnp.asarray(pts, jnp.float32), jnp.asarray(valid),
+                            None, method="minarea_pallas", f16_vertices=False)
+    out_j = fit_boxes_batch(jnp.asarray(pts, jnp.float32), jnp.asarray(valid),
+                            None, method="minarea", f16_vertices=False)
+    # Same footprint volume to within grid resolution.
+    vol_p = np.prod(np.asarray(out_p.dimensions), axis=-1)
+    vol_j = np.prod(np.asarray(out_j.dimensions), axis=-1)
+    np.testing.assert_allclose(vol_p, vol_j, rtol=0.02)
+    # With up vectors too
+    ups = np.tile(np.array([0.05, -0.99, 0.02], np.float32), (3, 1))
+    out_u = fit_boxes_batch(jnp.asarray(pts, jnp.float32), jnp.asarray(valid),
+                            jnp.asarray(ups), method="minarea_pallas", f16_vertices=False)
+    assert bool(np.asarray(out_u.ok).all())
