@@ -274,6 +274,36 @@ def save_ply_points(path, points: np.ndarray, colors: np.ndarray | None = None) 
             f.write(rec.tobytes())
 
 
+def save_ply_mesh(path, vertices: np.ndarray, faces: np.ndarray,
+                  colors: np.ndarray | None = None) -> None:
+    """Binary-LE PLY triangle mesh (depth_scene_no_edge.ply parity,
+    `src/batch_scripts/depth.py:49`)."""
+    v = np.asarray(vertices, np.float32).reshape(-1, 3)
+    f = np.asarray(faces, np.int32).reshape(-1, 3)
+    header = ["ply", "format binary_little_endian 1.0", f"element vertex {len(v)}",
+              "property float x", "property float y", "property float z"]
+    if colors is not None:
+        colors = np.asarray(colors).reshape(-1, 3)
+        if colors.dtype != np.uint8:
+            colors = np.clip(colors, 0, 255).astype(np.uint8)
+        header += ["property uchar red", "property uchar green", "property uchar blue"]
+    header += [f"element face {len(f)}", "property list uchar int vertex_indices",
+               "end_header"]
+    with open(path, "wb") as fh:
+        fh.write(("\n".join(header) + "\n").encode())
+        if colors is None:
+            fh.write(v.tobytes())
+        else:
+            rec = np.zeros(len(v), dtype=[("xyz", np.float32, 3), ("rgb", np.uint8, 3)])
+            rec["xyz"] = v
+            rec["rgb"] = colors
+            fh.write(rec.tobytes())
+        frec = np.zeros(len(f), dtype=[("n", np.uint8), ("idx", np.int32, 3)])
+        frec["n"] = 3
+        frec["idx"] = f
+        fh.write(frec.tobytes())
+
+
 def load_ply_points(path) -> tuple[np.ndarray, np.ndarray | None]:
     """Read a binary-LE PLY written by `save_ply_points`."""
     with open(path, "rb") as f:

@@ -82,15 +82,22 @@ class DepthStage:
 
                     Image.fromarray(img).save(scene.input_image)
                 if self.write_ply:
-                    # depth_scene.ply artifact parity (depth.py:157): the
-                    # colored scene point cloud at original resolution.
-                    from labelany3d_tpu.data.meshio import save_ply_points
+                    # depth_scene.ply + depth_scene_no_edge.ply artifact
+                    # parity (depth.py:49,157).
+                    from labelany3d_tpu.data.meshio import save_ply_mesh, save_ply_points
                     from labelany3d_tpu.geometry.backproject import depth_to_points
+                    from labelany3d_tpu.geometry.edges import edge_filtered_scene_mesh
 
-                    pts = np.asarray(depth_to_points(depth_full, K)).reshape(-1, 3)
+                    pts_map = np.asarray(depth_to_points(depth_full, K))
                     save_ply_points(
-                        scene.root / "depth_scene.ply", pts, img.reshape(-1, 3)
+                        scene.root / "depth_scene.ply",
+                        pts_map.reshape(-1, 3), img.reshape(-1, 3),
                     )
+                    valid = (depth_full > 0) & (depth_full < 9000)
+                    mv, mf, mc = edge_filtered_scene_mesh(
+                        pts_map, img, depth_full, valid
+                    )
+                    save_ply_mesh(scene.root / "depth_scene_no_edge.ply", mv, mf, mc)
                 done += 1
             pending.clear()
 

@@ -177,3 +177,16 @@ def test_glb_strided_accessor(tmp_path):
     mesh = load_glb(path)
     np.testing.assert_allclose(mesh.vertices, verts, atol=1e-6)
     np.testing.assert_array_equal(mesh.faces, [[0, 1, 2]])
+
+
+def test_ply_mesh_writer(tmp_path):
+    from labelany3d_tpu.data.meshio import save_ply_mesh
+
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    f = np.array([[0, 1, 2]], np.int32)
+    c = np.array([[255, 0, 0]] * 3, np.uint8)
+    path = tmp_path / "m.ply"
+    save_ply_mesh(path, v, f, c)
+    raw = path.read_bytes()
+    assert b"element vertex 3" in raw and b"element face 1" in raw
+    assert len(raw) > 100
