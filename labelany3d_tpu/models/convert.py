@@ -96,6 +96,84 @@ def convert_dinov2_vit(state: dict, cfg: ViTConfig, grid_hw: tuple[int, int]) ->
     return p
 
 
+def _conv_k(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d weight (out, in, kh, kw) -> flax kernel (kh, kw, in, out)."""
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
+def _deconv_k(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d weight (in, out, kh, kw) -> flax ConvTranspose
+    kernel (kh, kw, in, out) with spatial flip (flax's default
+    transpose_kernel=False convention; verified numerically vs torch)."""
+    k = np.transpose(np.asarray(w), (2, 3, 0, 1))
+    return np.ascontiguousarray(k[::-1, ::-1])
+
+
+def _gn(state: dict, pre: str) -> dict:
+    return {"scale": np.asarray(state[pre + "weight"]),
+            "bias": np.asarray(state[pre + "bias"])}
+
+
+def _cv(state: dict, pre: str) -> dict:
+    return {"kernel": _conv_k(state[pre + "weight"]),
+            "bias": np.asarray(state[pre + "bias"])}
+
+
+def _res_block(state: dict, pre: str) -> dict:
+    """Reference ResidualConvBlock (`moge_model.py:23-58`): layers Sequential
+    [GroupNorm, act, Conv3, GroupNorm, act, Conv3] + optional 1x1 skip."""
+    blk = {
+        "norm1": _gn(state, pre + "layers.0."),
+        "conv1": _cv(state, pre + "layers.2."),
+        "norm2": _gn(state, pre + "layers.3."),
+        "conv2": _cv(state, pre + "layers.5."),
+    }
+    if pre + "skip_connection.weight" in state:
+        blk["skip"] = _cv(state, pre + "skip_connection.")
+    return blk
+
+
+def convert_moge_head(state: dict, cfg) -> dict:
+    """Reference MoGe `Head` state dict -> Flax params for
+    `moge.MoGeCheckpointHead` (torch names from `moge_model.py:60-108`:
+    projects / upsample_blocks.{i}.[0.0 deconv, 0.1 conv, 1+r res] /
+    output_block.{j}.[0 conv_in, 1+r res, conv_out])."""
+    p: dict = {}
+    n_levels = len(cfg.backbone.out_indices)
+    for i in range(n_levels):
+        p[f"project{i}"] = _cv(state, f"head.projects.{i}.")
+    for i in range(len(cfg.dim_upsample)):
+        pre = f"head.upsample_blocks.{i}."
+        p[f"up{i}_deconv"] = {
+            "kernel": _deconv_k(state[pre + "0.0.weight"]),
+            "bias": np.asarray(state[pre + "0.0.bias"]),
+        }
+        p[f"up{i}_conv"] = _cv(state, pre + "0.1.")
+        for r in range(cfg.num_res_blocks):
+            p[f"up{i}_res{r}"] = _res_block(state, pre + f"{1 + r}.")
+    n_out = 2 if (cfg.output_mask and cfg.split_head) else 1
+    for j in range(n_out):
+        # split_head=True -> output_block is a ModuleList (indexed names);
+        # otherwise a single Sequential (no index segment).
+        pre = f"head.output_block.{j}." if n_out > 1 else "head.output_block."
+        p[f"out{j}_conv_in"] = _cv(state, pre + "0.")
+        for r in range(cfg.last_res_blocks):
+            p[f"out{j}_res{r}"] = _res_block(state, pre + f"{1 + r}.")
+        p[f"out{j}_conv_out"] = _cv(state, pre + f"{cfg.last_res_blocks + 2}.")
+    return p
+
+
+def convert_moge_checkpoint(state: dict, cfg, grid_hw: tuple[int, int]) -> dict:
+    """Full released-MoGe checkpoint (backbone.* + head.*) -> Flax params
+    for `moge.MoGeModel` with `head_style='reference'`."""
+    backbone_sd = {k[len("backbone."):]: v for k, v in state.items()
+                   if k.startswith("backbone.")}
+    return {
+        "backbone": convert_dinov2_vit(backbone_sd, cfg.backbone, grid_hw),
+        "head": convert_moge_head(state, cfg),
+    }
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a torch checkpoint into numpy arrays (CPU, no grad state)."""
     import torch

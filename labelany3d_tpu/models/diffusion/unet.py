@@ -33,7 +33,10 @@ class UNetConfig:
     in_channels: int = 4
     out_channels: int = 4
     widths: Sequence[int] = (320, 640, 1280, 1280)
-    attn_levels: Sequence[int] = (1, 2, 3)   # levels with transformer blocks
+    # SD-1.5 layout: transformer blocks at down levels 0-2; the deepest
+    # level (8x8 latents) is conv-only (diffusers: 3x CrossAttnDownBlock2D
+    # + DownBlock2D).
+    attn_levels: Sequence[int] = (0, 1, 2)
     num_res_blocks: int = 2
     num_heads: int = 8
     context_dim: int = 768

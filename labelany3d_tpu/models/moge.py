@@ -43,6 +43,18 @@ class MoGeConfig:
     remap_output: str = "exp"       # 'linear' | 'sinh' | 'exp' | 'sinh_exp'
     output_mask: bool = True
     dtype: Any = jnp.bfloat16
+    # Head style: 'tpu' = fused resize/conv pyramid (fast, trained here);
+    # 'reference' = checkpoint-faithful graph matching the released MoGe
+    # head (`moge_model.py:60-141`) so torch weights convert 1:1.
+    head_style: str = "tpu"
+    # reference-head hyperparameters (moge_model.py:61-72 defaults)
+    dim_proj: int = 512
+    dim_upsample: tuple = (256, 128, 128)
+    num_res_blocks: int = 1
+    last_res_blocks: int = 0
+    last_conv_channels: int = 32
+    last_conv_size: int = 1
+    split_head: bool = True         # dim_out [3, 1] vs a single 4-ch conv
 
     @staticmethod
     def tiny_test() -> "MoGeConfig":
@@ -50,6 +62,30 @@ class MoGeConfig:
             backbone=ViTConfig.tiny_test(out_indices=(0, 1)),
             head_width=32,
             num_upsamples=1,
+        )
+
+    @staticmethod
+    def vitl() -> "MoGeConfig":
+        """Shape of the released `Ruicheng/moge-vitl` checkpoint:
+        intermediate_layers=4 (last four blocks), split mask head,
+        exp-remapped output (moge_model.py:148-199)."""
+        return MoGeConfig(
+            backbone=ViTConfig.large(out_indices=(20, 21, 22, 23), norm_hiddens=True),
+            head_style="reference",
+            remap_output="exp",
+            output_mask=True,
+            split_head=True,
+        )
+
+    @staticmethod
+    def tiny_reference_test() -> "MoGeConfig":
+        return MoGeConfig(
+            backbone=ViTConfig.tiny_test(out_indices=(0, 1), norm_hiddens=True),
+            head_style="reference",
+            dim_proj=16,
+            dim_upsample=(8, 8),
+            last_conv_channels=8,
+            dtype=jnp.float32,
         )
 
 
@@ -96,6 +132,116 @@ class MoGeHead(nn.Module):
         return nn.Conv(out_ch, (3, 3), dtype=jnp.float32, param_dtype=jnp.float32, name="out")(x)
 
 
+def _conv3_replicate(x, features, name, dtype, param_dtype=jnp.float32):
+    """3x3 conv with torch padding_mode='replicate' semantics."""
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    return nn.Conv(
+        features, (3, 3), padding="VALID", dtype=dtype, param_dtype=param_dtype, name=name
+    )(x)
+
+
+def _view_plane_uv(height: int, width: int, aspect: float):
+    """Normalized view-plane UV grid; parity `geometry_torch.py:40-53`:
+    corners at +-(w, h)/diagonal, sampled at pixel centers."""
+    import numpy as np
+
+    span_x = aspect / (1 + aspect**2) ** 0.5
+    span_y = 1 / (1 + aspect**2) ** 0.5
+    u = np.linspace(-span_x * (width - 1) / width, span_x * (width - 1) / width, width)
+    v = np.linspace(-span_y * (height - 1) / height, span_y * (height - 1) / height, height)
+    uu, vv = np.meshgrid(u.astype("float32"), v.astype("float32"))
+    return np.stack([uu, vv], axis=-1)  # (H, W, 2)
+
+
+def _cat_uv(x, aspect):
+    uv = jnp.asarray(_view_plane_uv(x.shape[1], x.shape[2], aspect), x.dtype)
+    uv = jnp.broadcast_to(uv[None], (x.shape[0], *uv.shape))
+    return jnp.concatenate([x, uv], axis=-1)
+
+
+class ResidualConvBlock(nn.Module):
+    """GroupNorm -> ReLU -> conv3 -> GroupNorm -> ReLU -> conv3 + skip;
+    parity `moge_model.py:23-58` (activation='relu', norm='group_norm')."""
+
+    features: int
+    hidden: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        skip = x
+        if in_ch != self.features:
+            skip = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="skip")(x)
+        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm1")(x)
+        h = _conv3_replicate(nn.relu(h), self.hidden, "conv1", self.dtype)
+        h = nn.GroupNorm(num_groups=max(self.hidden // 32, 1), epsilon=1e-5, name="norm2")(h)
+        h = _conv3_replicate(nn.relu(h), self.features, "conv2", self.dtype)
+        return h + skip
+
+
+class MoGeCheckpointHead(nn.Module):
+    """Checkpoint-faithful MoGe head (`moge_model.py:60-141`): per-level 1x1
+    projections summed, ConvTranspose-2x upsample blocks with UV concat and
+    residual conv blocks, bilinear resize to full resolution, then per-output
+    conv blocks. Module graph and hyperparameters match the torch release so
+    `convert.convert_moge_checkpoint` maps weights 1:1."""
+
+    cfg: MoGeConfig
+
+    @nn.compact
+    def __call__(self, hiddens, grid, out_hw):
+        cfg = self.cfg
+        gh, gw = grid
+        img_h, img_w = out_hw
+        aspect = img_w / img_h
+
+        x = 0.0
+        for i, h in enumerate(hiddens):
+            tok = h.reshape(h.shape[0], gh, gw, h.shape[-1])
+            x = x + nn.Conv(
+                cfg.dim_proj, (1, 1), dtype=cfg.dtype, param_dtype=jnp.float32,
+                name=f"project{i}",
+            )(tok)
+
+        for i, out_ch in enumerate(cfg.dim_upsample):
+            x = _cat_uv(x, aspect)
+            x = nn.ConvTranspose(
+                out_ch, (2, 2), strides=(2, 2), dtype=cfg.dtype,
+                param_dtype=jnp.float32, name=f"up{i}_deconv",
+            )(x)
+            x = _conv3_replicate(x, out_ch, f"up{i}_conv", cfg.dtype)
+            for r in range(cfg.num_res_blocks):
+                x = ResidualConvBlock(out_ch, out_ch, cfg.dtype, name=f"up{i}_res{r}")(x)
+
+        b, hh, ww, c = x.shape
+        x = jax.image.resize(
+            x.astype(jnp.float32), (b, img_h, img_w, c), method="bilinear"
+        ).astype(x.dtype)
+        x = _cat_uv(x, aspect)
+
+        dim_out = [3, 1] if (cfg.output_mask and cfg.split_head) else \
+            [4] if cfg.output_mask else [3]
+        outs = []
+        for j, d in enumerate(dim_out):
+            h = _conv3_replicate(x, cfg.last_conv_channels, f"out{j}_conv_in", cfg.dtype)
+            for r in range(cfg.last_res_blocks):
+                h = ResidualConvBlock(
+                    cfg.last_conv_channels, cfg.last_conv_channels, cfg.dtype,
+                    name=f"out{j}_res{r}",
+                )(h)
+            k = cfg.last_conv_size
+            if k > 1:
+                h = jnp.pad(nn.relu(h), ((0, 0), (k // 2,) * 2, (k // 2,) * 2, (0, 0)), mode="edge")
+            else:
+                h = nn.relu(h)
+            outs.append(nn.Conv(
+                d, (k, k), padding="VALID", dtype=jnp.float32,
+                param_dtype=jnp.float32, name=f"out{j}_conv_out",
+            )(h))
+        return jnp.concatenate(outs, axis=-1)
+
+
 def _remap_points(raw: jnp.ndarray, mode: str) -> jnp.ndarray:
     """Output-space remapping; parity: `moge_model.py:273-292`."""
     if mode == "linear":
@@ -122,7 +268,10 @@ class MoGeModel(nn.Module):
         cfg = self.cfg
         b, h, w, _ = images.shape
         enc = ViT(cfg.backbone, name="backbone")(images)
-        out = MoGeHead(cfg, name="head")(enc["hiddens"], enc["grid"], (h, w))
+        if cfg.head_style not in ("tpu", "reference"):
+            raise ValueError(f"Unknown head_style: {cfg.head_style!r} (expected 'tpu' or 'reference')")
+        head_cls = MoGeCheckpointHead if cfg.head_style == "reference" else MoGeHead
+        out = head_cls(cfg, name="head")(enc["hiddens"], enc["grid"], (h, w))
         points = _remap_points(out[..., :3].astype(jnp.float32), cfg.remap_output)
         result = {"points": points}
         if cfg.output_mask:

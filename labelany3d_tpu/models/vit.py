@@ -45,6 +45,10 @@ class ViTConfig:
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     out_indices: Sequence[int] = ()  # intermediate block outputs to return
+    # Apply the final LayerNorm (shared params) to each intermediate output,
+    # matching DINOv2 get_intermediate_layers(norm=True) semantics
+    # (vision_transformer.py:298-311) — required by the MoGe reference head.
+    norm_hiddens: bool = False
 
     @staticmethod
     def small(**kw) -> "ViTConfig":
@@ -218,14 +222,16 @@ class ViT(nn.Module):
             )
             rope = rope_2d_freqs(cfg.width // cfg.num_heads, all_pos)
 
+        final_norm = nn.LayerNorm(dtype=jnp.float32, param_dtype=cfg.param_dtype, name="norm")
         hiddens = []
         want = set(i % cfg.depth for i in cfg.out_indices)
         for i in range(cfg.depth):
             x = Block(cfg, name=f"block{i}")(x, rope=rope)
             if i in want:
-                hiddens.append(x[:, n_prefix:])
+                h = final_norm(x) if cfg.norm_hiddens else x
+                hiddens.append(h[:, n_prefix:])
 
-        x = nn.LayerNorm(dtype=jnp.float32, param_dtype=cfg.param_dtype, name="norm")(x)
+        x = final_norm(x)
         out = {
             "tokens": x[:, n_prefix:].astype(cfg.dtype),
             "grid": (gh, gw),
