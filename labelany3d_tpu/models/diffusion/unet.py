@@ -56,12 +56,13 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
-        h = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), dtype=jnp.float32, name="norm1")(x)
+        # eps 1e-5 matches torch GroupNorm default (diffusers ResnetBlock2D).
+        h = nn.GroupNorm(num_groups=_num_groups(x.shape[-1]), epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), dtype=self.dtype, name="conv1")(h.astype(self.dtype))
         t = nn.Dense(self.out_ch, dtype=self.dtype, name="temb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=_num_groups(self.out_ch), dtype=jnp.float32, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=_num_groups(self.out_ch), epsilon=1e-5, dtype=jnp.float32, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), dtype=self.dtype, name="conv2")(h.astype(self.dtype))
         if x.shape[-1] != self.out_ch:
@@ -75,6 +76,8 @@ class TransformerBlock(nn.Module):
     dtype: Any
 
     def _attn(self, q_in, kv_in, name):
+        # k/v project the kv input directly (context_dim -> ch for cross
+        # attention), diffusers Attention convention: to_q/to_k/to_v no bias.
         ch = q_in.shape[-1]
         hd = ch // self.heads
         q = nn.Dense(ch, use_bias=False, dtype=self.dtype, name=f"{name}_q")(q_in)
@@ -85,7 +88,7 @@ class TransformerBlock(nn.Module):
             return t.reshape(t.shape[:-1] + (self.heads, hd))
 
         out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
-        out = out.reshape(q_in.shape)
+        out = out.reshape(q_in.shape[:-1] + (ch,))
         return nn.Dense(ch, dtype=self.dtype, name=f"{name}_proj")(out)
 
     @nn.compact
@@ -96,12 +99,11 @@ class TransformerBlock(nn.Module):
         t = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(t.astype(self.dtype))
         t = t.reshape(b, h * w, c)
 
-        tn = nn.LayerNorm(dtype=jnp.float32, name="ln1")(t).astype(self.dtype)
+        tn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(t).astype(self.dtype)
         t = t + self._attn(tn, tn, "self")
-        tn = nn.LayerNorm(dtype=jnp.float32, name="ln2")(t).astype(self.dtype)
-        ctx = nn.Dense(c, dtype=self.dtype, name="ctx_proj")(context)
-        t = t + self._attn(tn, ctx, "cross")
-        tn = nn.LayerNorm(dtype=jnp.float32, name="ln3")(t).astype(self.dtype)
+        tn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(t).astype(self.dtype)
+        t = t + self._attn(tn, context.astype(self.dtype), "cross")
+        tn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln3")(t).astype(self.dtype)
         g = nn.Dense(c * 8, dtype=self.dtype, name="geglu")(tn)
         a, gate = jnp.split(g, 2, axis=-1)
         t = t + nn.Dense(c, dtype=self.dtype, name="ff_out")(a * nn.gelu(gate))
@@ -133,8 +135,10 @@ class UNet2D(nn.Module):
                                          name=f"down{lvl}_attn{i}")(h, context)
                 skips.append(h)
             if lvl < len(cfg.widths) - 1:
-                h = nn.Conv(width, (3, 3), strides=(2, 2), dtype=cfg.dtype,
-                            name=f"down{lvl}_ds")(h)
+                # Explicit (1,1) padding: torch Conv2d(k=3,s=2,p=1) semantics
+                # (XLA 'SAME' would pad (0,1) at stride 2 — different taps).
+                h = nn.Conv(width, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                            dtype=cfg.dtype, name=f"down{lvl}_ds")(h)
                 skips.append(h)
 
         # Middle
@@ -156,7 +160,7 @@ class UNet2D(nn.Module):
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, c), method="nearest")
                 h = nn.Conv(width, (3, 3), dtype=cfg.dtype, name=f"up{lvl}_us")(h)
 
-        h = nn.GroupNorm(num_groups=_num_groups(h.shape[-1]), dtype=jnp.float32, name="norm_out")(h)
+        h = nn.GroupNorm(num_groups=_num_groups(h.shape[-1]), epsilon=1e-5, dtype=jnp.float32, name="norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(
             cfg.out_channels, (3, 3), dtype=jnp.float32, param_dtype=jnp.float32,
