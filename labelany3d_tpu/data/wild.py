@@ -151,5 +151,150 @@ class WildInstanceSource:
         )
 
 
+class ClipSegForeground:
+    """Text-prompted foreground filter; exact semantics of the reference's
+    `run_clipseg` (`src/model_wrappers.py:549-582`): per-prompt sigmoid maps,
+    background prompts thresholded at 0.5 and OR-reduced, foreground prompts
+    at 0.1, final mask = ~any(background) | any(foreground), resized to the
+    image size.
+
+    Runs a transformers `CLIPSegForImageSegmentation` on host (this is the
+    labeling front-end, not the TPU compute path — same placement as the
+    reference). Pass `model_path` pointing at a local snapshot of
+    `CIDAS/clipseg-rd64-refined`, or inject (model, processor) directly
+    (tiny random configs in tests).
+    """
+
+    BACKGROUND_PROMPTS = ("background", "floor", "wall", "curtain", "window",
+                          "ceiling", "table")
+    FOREGROUND_PROMPTS = ("object", "furniture")
+
+    def __init__(self, model_path: str | None = None, model=None, processor=None,
+                 bg_threshold: float = 0.5, fg_threshold: float = 0.1):
+        if model is None:
+            from transformers import CLIPSegForImageSegmentation, CLIPSegProcessor
+
+            model = CLIPSegForImageSegmentation.from_pretrained(model_path)
+            processor = CLIPSegProcessor.from_pretrained(model_path)
+        self.model = model.eval()
+        self.processor = processor
+        self.bg_threshold = bg_threshold
+        self.fg_threshold = fg_threshold
+
+    def _predict_maps(self, image: np.ndarray) -> np.ndarray:
+        """(H, W, 3) uint8 -> (P, h, w) sigmoid maps, prompts = bg + fg."""
+        import torch
+        from PIL import Image
+
+        prompts = list(self.BACKGROUND_PROMPTS) + list(self.FOREGROUND_PROMPTS)
+        pil = Image.fromarray(np.asarray(image, np.uint8))
+        inputs = self.processor(
+            text=prompts, images=[pil] * len(prompts),
+            padding="max_length", return_tensors="pt",
+        )
+        with torch.no_grad():
+            logits = self.model(**inputs).logits
+        if logits.dim() == 2:  # single-image squeeze
+            logits = logits[None]
+        return torch.sigmoid(logits).numpy()
+
+    def foreground(self, image: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        maps = self._predict_maps(image)
+        fg = combine_prompt_maps(
+            maps, len(self.BACKGROUND_PROMPTS), self.bg_threshold, self.fg_threshold
+        )
+        h, w = np.asarray(image).shape[:2]
+        return np.array(Image.fromarray(fg).resize((w, h)))
+
+
+def combine_prompt_maps(maps: np.ndarray, n_background: int,
+                        bg_threshold: float = 0.5, fg_threshold: float = 0.1) -> np.ndarray:
+    """run_clipseg's threshold/OR logic (`model_wrappers.py:577-580`)."""
+    maps = np.asarray(maps)
+    back = (maps[:n_background] > bg_threshold).any(axis=0)
+    fore = (maps[n_background:] > fg_threshold).any(axis=0)
+    return ~back | fore
+
+
+class ClipTagger:
+    """Open-vocabulary per-mask tagger (reference `run_ovsam` role,
+    `model_wrappers.py:616-632`): crop each mask's bbox, score against a
+    category vocabulary with CLIP, return the best name. Pass `model_path`
+    to a local CLIP snapshot or inject (model, processor); vocabulary
+    defaults to the Omni3D category names."""
+
+    def __init__(self, model_path: str | None = None, model=None, processor=None,
+                 vocabulary: list[str] | None = None):
+        if model is None:
+            from transformers import CLIPModel, CLIPProcessor
+
+            model = CLIPModel.from_pretrained(model_path)
+            processor = CLIPProcessor.from_pretrained(model_path)
+        self.model = model.eval()
+        self.processor = processor
+        if vocabulary is None:
+            from labelany3d_tpu.data.categories import OMNI3D_CATEGORIES
+
+            vocabulary = [c["name"] for c in OMNI3D_CATEGORIES]
+        self.vocabulary = list(vocabulary)
+
+    def tag(self, image: np.ndarray, masks: np.ndarray) -> list[str]:
+        import torch
+        from PIL import Image
+
+        img = np.asarray(image, np.uint8)
+        crops = []
+        for m in np.asarray(masks, bool):
+            ys, xs = np.nonzero(m)
+            if len(ys) == 0:
+                crops.append(Image.fromarray(img))
+                continue
+            crops.append(Image.fromarray(
+                img[ys.min():ys.max() + 1, xs.min():xs.max() + 1]
+            ))
+        if not crops:
+            return []
+        prompts = [f"a photo of a {name}" for name in self.vocabulary]
+        inputs = self.processor(
+            text=prompts, images=crops, padding="max_length",
+            return_tensors="pt", truncation=True,
+        )
+        with torch.no_grad():
+            sims = self.model(**inputs).logits_per_image  # (I, V)
+        best = sims.argmax(dim=-1).numpy()
+        return [self.vocabulary[int(i)] for i in best]
+
+
 def default_wild_source() -> WildInstanceSource:
     return WildInstanceSource(ColorSegmentation(), BorderPriorForeground(), ConstantTagger())
+
+
+def make_wild_source(
+    foreground: str = "border",
+    tagger: str = "constant",
+    clipseg_path: str | None = None,
+    clip_path: str | None = None,
+) -> WildInstanceSource:
+    """Config-driven wild stack (CLI keys run.wild_foreground /
+    run.wild_tagger; model paths under models.*)."""
+    if foreground == "border":
+        fg = BorderPriorForeground()
+    elif foreground == "clipseg":
+        if clipseg_path is None:
+            raise ValueError("run.wild_foreground=clipseg needs models.clipseg_path")
+        fg = ClipSegForeground(model_path=clipseg_path)
+    else:
+        raise ValueError(f"Unknown run.wild_foreground: {foreground!r} "
+                         "(expected 'border' or 'clipseg')")
+    if tagger == "constant":
+        tg = ConstantTagger()
+    elif tagger == "clip":
+        if clip_path is None:
+            raise ValueError("run.wild_tagger=clip needs models.clip_path")
+        tg = ClipTagger(model_path=clip_path)
+    else:
+        raise ValueError(f"Unknown run.wild_tagger: {tagger!r} "
+                         "(expected 'constant' or 'clip')")
+    return WildInstanceSource(ColorSegmentation(), fg, tg)

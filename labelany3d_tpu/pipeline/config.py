@@ -79,6 +79,8 @@ DEFAULT_CONFIG: dict = {
         "enhance": "bicubic",           # 'invsr' | 'bicubic'
         "elevation": "zero",            # 'zero123' | 'zero'
         "segmentation": "coconut",      # 'coconut' | 'entityv2' (wild mode)
+        "wild_foreground": "border",    # 'border' | 'clipseg' (wild mode)
+        "wild_tagger": "constant",      # 'constant' | 'clip' (wild mode)
         "depth": "moge+depthpro",
         "bbox_method": "pca",           # 'pca' | 'minarea'
     },
@@ -98,6 +100,8 @@ DEFAULT_CONFIG: dict = {
         "depth_pro": {"preset": "large", "input_size": 768},
         "use_fakes": False,             # tests flip this on
         "tiny": False,                  # tiny model configs (CPU dry runs)
+        "clipseg_path": None,           # local CIDAS/clipseg-rd64-refined snapshot
+        "clip_path": None,              # local CLIP snapshot (wild tagger)
     },
 }
 

@@ -70,10 +70,16 @@ def main(argv=None) -> int:
     provider = None
     if args.wild:
         from labelany3d_tpu.data.sources import DirectoryLoader, WildInstanceProvider
+        from labelany3d_tpu.data.wild import make_wild_source
 
         images_root = args.dataset_root
         loader = DirectoryLoader(images_root)
-        provider = WildInstanceProvider()
+        provider = WildInstanceProvider(make_wild_source(
+            foreground=str(cfg_node.run.wild_foreground),
+            tagger=str(cfg_node.run.wild_tagger),
+            clipseg_path=cfg_node.models.clipseg_path,
+            clip_path=cfg_node.models.clip_path,
+        ))
     else:
         images_root, annotations_dir = get_dataset_paths(args.split, args.dataset_root)
         loader = CoconutLoader(split=args.split, annotations_dir=annotations_dir)
