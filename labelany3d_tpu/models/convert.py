@@ -174,6 +174,87 @@ def convert_moge_checkpoint(state: dict, cfg, grid_hw: tuple[int, int]) -> dict:
     }
 
 
+def _sub(state: dict, prefix: str) -> dict:
+    return {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+
+
+def _conv_nb(state: dict, key: str) -> dict:
+    return {"kernel": _conv_k(state[key + ".weight"])}
+
+
+def _proj_upsample(state: dict, pre: str, n_up: int) -> dict:
+    """Reference `_create_project_upsample_block` (encoder.py:60-93):
+    Sequential[1x1 conv, n_up x ConvTranspose], all bias-free."""
+    p = {"proj": _conv_nb(state, pre + ".0")}
+    for i in range(n_up):
+        p[f"deconv{i}"] = {"kernel": _deconv_k(state[f"{pre}.{i + 1}.weight"])}
+    return p
+
+
+def _residual_unit(state: dict, pre: str) -> dict:
+    """decoder.py:182-199 — residual Sequential[ReLU, conv, ReLU, conv]."""
+    return {"conv1": _cv(state, pre + ".residual.1."),
+            "conv2": _cv(state, pre + ".residual.3.")}
+
+
+def convert_depth_pro(state: dict, cfg) -> dict:
+    """Released DepthPro checkpoint (`depth_pro.pt`) -> Flax params for
+    `depth_pro.DepthPro35(cfg)`.
+
+    Torch names from `network/{encoder,decoder,fov}.py` + `depth_pro.py`;
+    the three backbones are timm DINOv2 ViTs (resized to patch16/384) and
+    go through `convert_dinov2_vit`.
+    """
+    gh = cfg.patch_res // cfg.patch_encoder.patch_size
+    p: dict = {
+        "patch_encoder": convert_dinov2_vit(
+            _sub(state, "encoder.patch_encoder."), cfg.patch_encoder, (gh, gh)),
+        "image_encoder": convert_dinov2_vit(
+            _sub(state, "encoder.image_encoder."), cfg.image_encoder, (gh, gh)),
+        "upsample_latent0": _proj_upsample(state, "encoder.upsample_latent0", 3),
+        "upsample_latent1": _proj_upsample(state, "encoder.upsample_latent1", 2),
+        "upsample0": _proj_upsample(state, "encoder.upsample0", 1),
+        "upsample1": _proj_upsample(state, "encoder.upsample1", 1),
+        "upsample2": _proj_upsample(state, "encoder.upsample2", 1),
+        "upsample_lowres": {
+            "kernel": _deconv_k(state["encoder.upsample_lowres.weight"]),
+            "bias": np.asarray(state["encoder.upsample_lowres.bias"]),
+        },
+        "fuse_lowres": _cv(state, "encoder.fuse_lowres."),
+        "head_c1": _cv(state, "head.0."),
+        "head_deconv": {
+            "kernel": _deconv_k(state["head.1.weight"]),
+            "bias": np.asarray(state["head.1.bias"]),
+        },
+        "head_c2": _cv(state, "head.2."),
+        "head_c3": _cv(state, "head.4."),
+    }
+    n_levels = 5  # [latent0, latent1, f0, f1, global]
+    for i in range(n_levels):
+        pre = f"decoder.fusions.{i}"
+        blk: dict = {"res2": _residual_unit(state, pre + ".resnet2"),
+                     "out_conv": _cv(state, pre + ".out_conv.")}
+        if i != n_levels - 1:
+            # the top (lowest-res) fusion is called without a skip input, so
+            # its resnet1 params are unused in torch and absent in flax
+            blk["res1"] = _residual_unit(state, pre + ".resnet1")
+        if i != 0:
+            blk["deconv"] = {"kernel": _deconv_k(state[pre + ".deconv.weight"])}
+        p[f"dec_fusion{i}"] = blk
+        if i > 0:  # convs.0 is Identity when dims match (decoder.py:42-45)
+            p[f"dec_conv{i}"] = _conv_nb(state, f"decoder.convs.{i}")
+    if cfg.fov_encoder is not None:
+        p["fov_encoder"] = convert_dinov2_vit(
+            _sub(state, "fov.encoder.0."), cfg.fov_encoder, (gh, gh))
+        p["fov_enc_linear"] = {"kernel": _t(state["fov.encoder.1.weight"]),
+                               "bias": np.asarray(state["fov.encoder.1.bias"])}
+        p["fov_down"] = _cv(state, "fov.downsample.0.")
+        p["fov_h0"] = _cv(state, "fov.head.0.")
+        p["fov_h1"] = _cv(state, "fov.head.2.")
+        p["fov_h2"] = _cv(state, "fov.head.4.")
+    return p
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a torch checkpoint into numpy arrays (CPU, no grad state)."""
     import torch

@@ -49,6 +49,10 @@ class ViTConfig:
     # matching DINOv2 get_intermediate_layers(norm=True) semantics
     # (vision_transformer.py:298-311) — required by the MoGe reference head.
     norm_hiddens: bool = False
+    # Native grid of the learned pos_embed (e.g. (37, 37) for DINOv2-L/14 at
+    # 518). None = the first input's grid. When the live grid differs, the
+    # embedding is bicubic-interpolated (DINOv2 interpolate_pos_encoding).
+    pos_grid: tuple | None = None
 
     @staticmethod
     def small(**kw) -> "ViTConfig":
@@ -172,6 +176,7 @@ class ViT(nn.Module):
             cfg.width,
             kernel_size=(cfg.patch_size, cfg.patch_size),
             strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",  # torch patch embeds pad nothing: floor(h/p)
             dtype=cfg.dtype,
             param_dtype=cfg.param_dtype,
             name="patch_embed",
@@ -180,11 +185,14 @@ class ViT(nn.Module):
 
         rope = None
         if cfg.pos_embed == "learned":
+            pgh, pgw = cfg.pos_grid or (gh, gw)
             pos = self.param(
                 "pos_embed",
                 nn.initializers.normal(0.02, dtype=jnp.float32),
-                (1, gh, gw, cfg.width),
+                (1, pgh, pgw, cfg.width),
             )
+            if (pgh, pgw) != (gh, gw):
+                pos = resize_pos_embed(pos, gh, gw)
             x = x + pos.reshape(1, gh * gw, cfg.width).astype(cfg.dtype)
         elif cfg.pos_embed == "rope2d":
             # CroCo/MASt3R-style rotary positions applied inside attention;

@@ -91,7 +91,9 @@ def main(argv=None) -> int:
     def run_depth():
         from labelany3d_tpu.models.registry import get_model
 
-        backend = get_model("depth", preset=str(cfg_node.models.moge.preset))
+        # models.tiny overrides the preset (same contract as other stages).
+        preset = "tiny_test" if bool(cfg_node.models.tiny) else str(cfg_node.models.moge.preset)
+        backend = get_model("depth", preset=preset)
         stage = DepthStage(cfg, backend, loader, source, args.save_dir, args.split)
         n = stage.run(args.start_index, args.end_index)
         print(f"[depth] processed {n} images")
