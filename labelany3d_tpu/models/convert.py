@@ -255,6 +255,61 @@ def convert_depth_pro(state: dict, cfg) -> dict:
     return p
 
 
+def convert_mast3r_head(state: dict, cfg, prefix: str = "downstream_head1.") -> dict:
+    """MASt3R `Cat_MLP_LocalFeatures_DPT_Pts3d` state dict -> Flax params for
+    `matcher.CatMLPDPTHead`.
+
+    Torch names from `catmlp_dpt_head.py` + croco `dpt_block.py`. The DPT
+    adapter registers its resamplers under both `act_postprocess.{i}.{j}`
+    and `act_{i+1}_postprocess.{j}` (aliased modules); either is accepted.
+    """
+    def key(*cands):
+        for c in cands:
+            if prefix + c in state:
+                return state[prefix + c]
+        raise KeyError(f"none of {cands} under {prefix}")
+
+    def act(i, j):
+        return (f"dpt.act_postprocess.{i}.{j}.", f"dpt.act_{i + 1}_postprocess.{j}.")
+
+    def cv(cands):
+        return {"kernel": _conv_k(key(*[c + "weight" for c in cands])),
+                "bias": np.asarray(key(*[c + "bias" for c in cands]))}
+
+    def dcv(cands):
+        return {"kernel": _deconv_k(key(*[c + "weight" for c in cands])),
+                "bias": np.asarray(key(*[c + "bias" for c in cands]))}
+
+    p: dict = {
+        "act0_proj": cv(act(0, 0)), "act0_deconv": dcv(act(0, 1)),
+        "act1_proj": cv(act(1, 0)), "act1_deconv": dcv(act(1, 1)),
+        "act2_proj": cv(act(2, 0)),
+        "act3_proj": cv(act(3, 0)), "act3_conv": cv(act(3, 1)),
+        "head_c1": cv(("dpt.head.0.",)),
+        "head_c2": cv(("dpt.head.2.",)),
+        "head_c3": cv(("dpt.head.4.",)),
+        "mlp_fc1": {"kernel": _t(key("head_local_features.fc1.weight")),
+                    "bias": np.asarray(key("head_local_features.fc1.bias"))},
+        "mlp_fc2": {"kernel": _t(key("head_local_features.fc2.weight")),
+                    "bias": np.asarray(key("head_local_features.fc2.bias"))},
+    }
+    for i in range(4):
+        p[f"rn{i}"] = {"kernel": _conv_k(key(
+            f"dpt.scratch.layer{i + 1}_rn.weight", f"dpt.scratch.layer_rn.{i}.weight"))}
+    for k in range(1, 5):
+        pre = f"dpt.scratch.refinenet{k}."
+        blk: dict = {
+            "res2": {"conv1": cv((pre + "resConfUnit2.conv1.",)),
+                     "conv2": cv((pre + "resConfUnit2.conv2.",))},
+            "out_conv": cv((pre + "out_conv.",)),
+        }
+        if k != 4:  # refinenet4 is called without a skip; its res1 is unused
+            blk["res1"] = {"conv1": cv((pre + "resConfUnit1.conv1.",)),
+                           "conv2": cv((pre + "resConfUnit1.conv2.",))}
+        p[f"refine{k}"] = blk
+    return p
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a torch checkpoint into numpy arrays (CPU, no grad state)."""
     import torch

@@ -35,6 +35,17 @@ class MatcherConfig:
     dec_heads: int = 12
     desc_dim: int = 24
     dtype: Any = jnp.bfloat16
+    # Head style: 'pixelshuffle' = fast TPU redesign; 'catmlpdpt' =
+    # checkpoint-faithful MASt3R head (`mast3r/catmlp_dpt_head.py:44-100`)
+    # so released weights convert 1:1 via `convert.convert_mast3r_head`.
+    head_style: str = "pixelshuffle"
+    # catmlpdpt hyperparameters (mast3r_head_factory, catmlp_dpt_head.py:208)
+    feature_dim: int = 256
+    last_dim: int = 128
+    layer_dims: tuple = (96, 192, 384, 768)
+    two_confs: bool = True
+    conf_vmin: float = 1.0       # conf_mode ('exp', 1, inf)
+    desc_conf_vmin: float = 0.0  # desc_conf_mode ('exp', 0, inf)
 
     @staticmethod
     def tiny_test() -> "MatcherConfig":
@@ -44,6 +55,29 @@ class MatcherConfig:
             dec_depth=2,
             dec_heads=2,
             desc_dim=8,
+        )
+
+    @staticmethod
+    def tiny_catmlpdpt_test() -> "MatcherConfig":
+        # DPT resolution algebra needs a 16-px patch (like the checkpoint).
+        return MatcherConfig(
+            encoder=dataclasses.replace(ViTConfig.tiny_test(), patch_size=16),
+            dec_width=32, dec_depth=4, dec_heads=2, desc_dim=8,
+            head_style="catmlpdpt",
+            feature_dim=16, last_dim=8, layer_dims=(8, 8, 8, 16),
+        )
+
+    @staticmethod
+    def mast3r_vitl() -> "MatcherConfig":
+        """Shape of `MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric`:
+        CroCo ViT-L/16 RoPE encoder, 12-block base decoder, catmlp+dpt head
+        with desc24 (`mast3r/model.py`, head factory)."""
+        return MatcherConfig(
+            encoder=ViTConfig.large(
+                patch_size=16, pos_embed="rope2d",
+                use_class_token=False, layerscale_init=None,
+            ),
+            head_style="catmlpdpt",
         )
 
 
@@ -116,6 +150,138 @@ class MatcherHead(nn.Module):
         return pts, conf, desc
 
 
+def _resize_bilinear_ac(x: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
+    """Bilinear resize with torch align_corners=True semantics (the DPT
+    blocks' interpolation mode; jax.image.resize is half-pixel only)."""
+    import numpy as np
+
+    b, h, w, c = x.shape
+
+    def w1d(o, n):
+        pos = np.arange(o) * ((n - 1) / (o - 1)) if o > 1 else np.zeros(o)
+        i0 = np.floor(pos).astype(np.int32)
+        i1 = np.minimum(i0 + 1, n - 1)
+        return i0, i1, (pos - i0).astype(np.float32)
+
+    y0, y1, fy = w1d(oh, h)
+    x0, x1, fx = w1d(ow, w)
+    r = x[:, y0] * (1 - fy)[None, :, None, None] + x[:, y1] * fy[None, :, None, None]
+    r = r[:, :, x0] * (1 - fx)[None, None, :, None] + r[:, :, x1] * fx[None, None, :, None]
+    return r
+
+
+class _ResConvUnit(nn.Module):
+    """DPT ResidualConvUnit_custom (`dpt_block.py:79-129`): ReLU-conv3 x2
+    + identity."""
+
+    features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv1")(nn.relu(x))
+        h = nn.Conv(self.features, (3, 3), dtype=self.dtype, name="conv2")(nn.relu(h))
+        return x + h
+
+
+class _DPTFusion(nn.Module):
+    """FeatureFusionBlock_custom (`dpt_block.py:140-218`): optional skip via
+    res-unit 1, res-unit 2, x2 bilinear (align_corners=True), 1x1 out conv."""
+
+    features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        if skip is not None:
+            x = x + _ResConvUnit(self.features, self.dtype, name="res1")(skip)
+        x = _ResConvUnit(self.features, self.dtype, name="res2")(x)
+        b, h, w, c = x.shape
+        x = _resize_bilinear_ac(x, 2 * h, 2 * w)
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")(x)
+
+
+class CatMLPDPTHead(nn.Module):
+    """Checkpoint-faithful MASt3R head (`catmlp_dpt_head.py:44-100` +
+    `dpt_block.py` DPTOutputAdapter): a DPT branch over [encoder, three
+    decoder hook layers] regressing pts3d+conf, and an MLP+pixel-shuffle
+    branch over cat(enc, dec) producing desc (+desc_conf), merged through
+    the reference `postprocess` (exp point/conf modes)."""
+
+    cfg: MatcherConfig
+    patch: int
+
+    @nn.compact
+    def __call__(self, layers, enc_tokens, dec_tokens, grid, out_hw):
+        cfg = self.cfg
+        gh, gw = grid
+        b = enc_tokens.shape[0]
+        dt = cfg.dtype
+        ld = cfg.layer_dims
+        fd = cfg.feature_dim
+
+        def g(t, c):
+            return t.reshape(b, gh, gw, c)
+
+        # act_postprocess: per-hook resamplers (dpt_block.py:356-403).
+        l0 = nn.Conv(ld[0], (1, 1), dtype=dt, name="act0_proj")(g(layers[0], layers[0].shape[-1]))
+        l0 = nn.ConvTranspose(ld[0], (4, 4), strides=(4, 4), dtype=dt, name="act0_deconv")(l0)
+        l1 = nn.Conv(ld[1], (1, 1), dtype=dt, name="act1_proj")(g(layers[1], layers[1].shape[-1]))
+        l1 = nn.ConvTranspose(ld[1], (2, 2), strides=(2, 2), dtype=dt, name="act1_deconv")(l1)
+        l2 = nn.Conv(ld[2], (1, 1), dtype=dt, name="act2_proj")(g(layers[2], layers[2].shape[-1]))
+        l3 = nn.Conv(ld[3], (1, 1), dtype=dt, name="act3_proj")(g(layers[3], layers[3].shape[-1]))
+        l3 = nn.Conv(ld[3], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                     dtype=dt, name="act3_conv")(l3)
+
+        # scratch.layer_rn 3x3 bias-free projections to feature_dim.
+        rn = [nn.Conv(fd, (3, 3), use_bias=False, dtype=dt, name=f"rn{i}")(l)
+              for i, l in enumerate((l0, l1, l2, l3))]
+
+        # refinenet4..1; path_4 cropped to layers[2]'s grid (dpt_head.py:57).
+        p4 = _DPTFusion(fd, dt, name="refine4")(rn[3])[:, :rn[2].shape[1], :rn[2].shape[2]]
+        p3 = _DPTFusion(fd, dt, name="refine3")(p4, rn[2])
+        p2 = _DPTFusion(fd, dt, name="refine2")(p3, rn[1])
+        p1 = _DPTFusion(fd, dt, name="refine1")(p2, rn[0])
+
+        # regression head (dpt_block.py:316-325).
+        h = nn.Conv(fd // 2, (3, 3), dtype=dt, name="head_c1")(p1)
+        h = _resize_bilinear_ac(h, 2 * h.shape[1], 2 * h.shape[2])
+        h = nn.Conv(cfg.last_dim, (3, 3), dtype=dt, name="head_c2")(h)
+        pts_conf = nn.Conv(4, (1, 1), dtype=jnp.float32, param_dtype=jnp.float32,
+                           name="head_c3")(nn.relu(h).astype(jnp.float32))
+
+        # MLP local-features branch (catmlp_dpt_head.py:69-89).
+        p = self.patch
+        n_out = cfg.desc_dim + int(cfg.two_confs)
+        cat = jnp.concatenate([enc_tokens, dec_tokens], axis=-1)
+        idim = cat.shape[-1]
+        hcat = nn.Dense(4 * idim, dtype=dt, name="mlp_fc1")(cat)
+        feat = nn.Dense(n_out * p * p, dtype=jnp.float32, param_dtype=jnp.float32,
+                        name="mlp_fc2")(nn.gelu(hcat, approximate=False).astype(jnp.float32))
+        # torch pixel_shuffle layout: channel = c*p^2 + dy*p + dx.
+        feat = feat.reshape(b, gh, gw, n_out, p, p)
+        feat = feat.transpose(0, 1, 4, 2, 5, 3).reshape(b, gh * p, gw * p, n_out)
+
+        if pts_conf.shape[1:3] != feat.shape[1:3]:
+            pts_conf = jax.image.resize(
+                pts_conf, (b, feat.shape[1], feat.shape[2], 4), method="bilinear")
+        fmap = jnp.concatenate([pts_conf.astype(jnp.float32), feat], axis=-1)
+
+        # postprocess (catmlp_dpt_head.py:27-42): exp point mode, exp confs,
+        # L2-normalized descriptors.
+        xyz = fmap[..., 0:3]
+        d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+        pts = xyz / jnp.maximum(d, 1e-8) * jnp.expm1(d)
+        conf = cfg.conf_vmin + jnp.exp(fmap[..., 3])
+        desc = fmap[..., 4:4 + cfg.desc_dim]
+        desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
+        if cfg.two_confs:
+            desc_conf = cfg.desc_conf_vmin + jnp.exp(fmap[..., 4 + cfg.desc_dim])
+        else:
+            desc_conf = conf
+        return pts, conf, desc, desc_conf
+
+
 class TwoViewMatcher(nn.Module):
     cfg: MatcherConfig
 
@@ -138,12 +304,30 @@ class TwoViewMatcher(nn.Module):
         pos = jnp.stack([gy, gx], axis=-1).reshape(1, gh * gw, 2)
         pos_cs = rope_2d_freqs(cfg.dec_width // cfg.dec_heads, pos)
 
+        # DPT hooks over decout = [enc, dec_1..dec_N] at
+        # [0, 2N/4, 3N/4, N] (dpt_head.py:110).
+        want = {cfg.dec_depth * 2 // 4, cfg.dec_depth * 3 // 4, cfg.dec_depth}
+        hooks0, hooks1 = [], []
         for i in range(cfg.dec_depth):
             blk0 = CrossBlock(cfg, name=f"dec0_block{i}")
             blk1 = CrossBlock(cfg, name=f"dec1_block{i}")
             x0n, x1n = blk0(x0, x1, pos_cs, pos_cs), blk1(x1, x0, pos_cs, pos_cs)
             x0, x1 = x0n, x1n
+            if (i + 1) in want:
+                hooks0.append(x0)
+                hooks1.append(x1)
 
+        if cfg.head_style == "catmlpdpt":
+            head0 = CatMLPDPTHead(cfg, cfg.encoder.patch_size, name="head0")
+            head1 = CatMLPDPTHead(cfg, cfg.encoder.patch_size, name="head1")
+            pts0, conf0, desc0, dconf0 = head0([t0] + hooks0, t0, x0, (gh, gw), (h, w))
+            pts1, conf1, desc1, dconf1 = head1([t1] + hooks1, t1, x1, (gh, gw), (h, w))
+            return {
+                "pts3d0": pts0, "conf0": conf0, "desc0": desc0, "desc_conf0": dconf0,
+                "pts3d1": pts1, "conf1": conf1, "desc1": desc1, "desc_conf1": dconf1,
+            }
+        if cfg.head_style != "pixelshuffle":
+            raise ValueError(f"Unknown head_style: {cfg.head_style!r}")
         head0 = MatcherHead(cfg, cfg.encoder.patch_size, name="head0")
         head1 = MatcherHead(cfg, cfg.encoder.patch_size, name="head1")
         pts0, conf0, desc0 = head0(x0, (gh, gw), (h, w))
