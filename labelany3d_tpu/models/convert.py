@@ -310,6 +310,81 @@ def convert_mast3r_head(state: dict, cfg, prefix: str = "downstream_head1.") -> 
     return p
 
 
+def _ln(state: dict, pre: str) -> dict:
+    return {"scale": np.asarray(state[pre + "weight"]),
+            "bias": np.asarray(state[pre + "bias"])}
+
+
+def _linear(state: dict, pre: str) -> dict:
+    return {"kernel": _t(state[pre + "weight"]),
+            "bias": np.asarray(state[pre + "bias"])}
+
+
+def convert_mast3r(state: dict, cfg) -> dict:
+    """Full MASt3R/DUSt3R checkpoint -> Flax params for
+    `matcher.TwoViewMatcher(MatcherConfig.mast3r_vitl())`.
+
+    Torch names from croco `croco.py`/`blocks.py` + dust3r `model.py`:
+    enc_blocks (fused qkv), decoder_embed, dec_blocks/dec_blocks2
+    (dec_blocks2 falls back to dec_blocks when the checkpoint shares
+    decoders — model.py:93-96 does the same), dec_norm, downstream heads.
+    """
+    p: dict = {}
+
+    # ---- encoder (CroCo ViT, RoPE -> no pos_embed/cls to map)
+    enc: dict = {
+        "patch_embed": {"kernel": _conv_k(state["patch_embed.proj.weight"]),
+                        "bias": np.asarray(state["patch_embed.proj.bias"])},
+        "norm": _ln(state, "enc_norm."),
+    }
+    for i in range(cfg.encoder.depth):
+        pre = f"enc_blocks.{i}."
+        enc[f"block{i}"] = {
+            "norm1": _ln(state, pre + "norm1."),
+            "norm2": _ln(state, pre + "norm2."),
+            "attn": {"qkv": _linear(state, pre + "attn.qkv."),
+                     "proj": _linear(state, pre + "attn.proj.")},
+            "mlp": {"fc1": _linear(state, pre + "mlp.fc1."),
+                    "fc2": _linear(state, pre + "mlp.fc2.")},
+        }
+    p["encoder"] = enc
+
+    p["dec_embed"] = _linear(state, "decoder_embed.")
+    p["dec_norm"] = _ln(state, "dec_norm.")
+
+    def dec_block(pre: str) -> dict:
+        d = cfg.dec_width
+        qkv_w = np.asarray(state[pre + "attn.qkv.weight"])  # (3D, D)
+        qkv_b = np.asarray(state[pre + "attn.qkv.bias"])
+        blk = {
+            "norm1": _ln(state, pre + "norm1."),
+            "norm2": _ln(state, pre + "norm2."),
+            "norm3": _ln(state, pre + "norm3."),
+            "norm_other": _ln(state, pre + "norm_y."),
+            "self_proj": _linear(state, pre + "attn.proj."),
+            "cross_q": _linear(state, pre + "cross_attn.projq."),
+            "cross_k": _linear(state, pre + "cross_attn.projk."),
+            "cross_v": _linear(state, pre + "cross_attn.projv."),
+            "cross_proj": _linear(state, pre + "cross_attn.proj."),
+            "mlp": {"fc1": _linear(state, pre + "mlp.fc1."),
+                    "fc2": _linear(state, pre + "mlp.fc2.")},
+        }
+        for j, nm in enumerate(("self_q", "self_k", "self_v")):
+            blk[nm] = {"kernel": _t(qkv_w[j * d:(j + 1) * d]),
+                       "bias": qkv_b[j * d:(j + 1) * d]}
+        return blk
+
+    has_dec2 = any(k.startswith("dec_blocks2.") for k in state)
+    for i in range(cfg.dec_depth):
+        p[f"dec0_block{i}"] = dec_block(f"dec_blocks.{i}.")
+        pre2 = f"dec_blocks2.{i}." if has_dec2 else f"dec_blocks.{i}."
+        p[f"dec1_block{i}"] = dec_block(pre2)
+
+    p["head0"] = convert_mast3r_head(state, cfg, prefix="downstream_head1.")
+    p["head1"] = convert_mast3r_head(state, cfg, prefix="downstream_head2.")
+    return p
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a torch checkpoint into numpy arrays (CPU, no grad state)."""
     import torch

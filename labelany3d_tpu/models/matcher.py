@@ -59,9 +59,13 @@ class MatcherConfig:
 
     @staticmethod
     def tiny_catmlpdpt_test() -> "MatcherConfig":
-        # DPT resolution algebra needs a 16-px patch (like the checkpoint).
+        # DPT resolution algebra needs a 16-px patch; encoder settings
+        # mirror the CroCo checkpoint (rope, no cls, no layerscale).
         return MatcherConfig(
-            encoder=dataclasses.replace(ViTConfig.tiny_test(), patch_size=16),
+            encoder=dataclasses.replace(
+                ViTConfig.tiny_test(), patch_size=16, pos_embed="rope2d",
+                use_class_token=False, layerscale_init=None,
+            ),
             dec_width=32, dec_depth=4, dec_heads=2, desc_dim=8,
             head_style="catmlpdpt",
             feature_dim=16, last_dim=8, layer_dims=(8, 8, 8, 16),
@@ -305,8 +309,9 @@ class TwoViewMatcher(nn.Module):
         pos_cs = rope_2d_freqs(cfg.dec_width // cfg.dec_heads, pos)
 
         # DPT hooks over decout = [enc, dec_1..dec_N] at
-        # [0, 2N/4, 3N/4, N] (dpt_head.py:110).
-        want = {cfg.dec_depth * 2 // 4, cfg.dec_depth * 3 // 4, cfg.dec_depth}
+        # [0, 2N/4, 3N/4, N] (dpt_head.py:110); the last entry is the
+        # dec_norm-ed output (croco.py:105, model.py:189).
+        want = {cfg.dec_depth * 2 // 4, cfg.dec_depth * 3 // 4}
         hooks0, hooks1 = [], []
         for i in range(cfg.dec_depth):
             blk0 = CrossBlock(cfg, name=f"dec0_block{i}")
@@ -316,6 +321,11 @@ class TwoViewMatcher(nn.Module):
             if (i + 1) in want:
                 hooks0.append(x0)
                 hooks1.append(x1)
+        dec_norm = nn.LayerNorm(dtype=jnp.float32, name="dec_norm")
+        x0 = dec_norm(x0).astype(cfg.dtype)
+        x1 = dec_norm(x1).astype(cfg.dtype)
+        hooks0.append(x0)
+        hooks1.append(x1)
 
         if cfg.head_style == "catmlpdpt":
             head0 = CatMLPDPTHead(cfg, cfg.encoder.patch_size, name="head0")
