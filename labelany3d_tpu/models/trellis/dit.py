@@ -83,21 +83,23 @@ class _Attention(nn.Module):
         if sparse is None:
             out = jax.nn.dot_product_attention(qh, kh, vh)
         else:
+            # coords (B, N, 3) / valid (B, N): each batch element carries its
+            # own slot layout; vmap maps attention over them jointly.
             mode, coords, valid, shift = sparse
 
-            def one(qv, kvv, vvv):
+            def one(qv, kvv, vvv, cv, vv):
                 if mode == "serialized":
                     return serialized_attention(
-                        qv, kvv, vvv, coords, valid,
+                        qv, kvv, vvv, cv, vv,
                         window_size=cfg.serialized_window, shift=shift,
                     )
                 return windowed_attention_3d(
-                    qv, kvv, vvv, coords, valid,
+                    qv, kvv, vvv, cv, vv,
                     grid_size=cfg.grid_size, window_size=cfg.spatial_window,
                     shift=shift,
                 )
 
-            out = jax.vmap(one)(qh, kh, vh)
+            out = jax.vmap(one)(qh, kh, vh, coords, valid)
         out = out.reshape(x.shape[:-1] + (cfg.width,))
         return nn.Dense(cfg.width, dtype=cfg.dtype, name="proj")(out)
 
@@ -192,13 +194,14 @@ class SparseDiT(nn.Module):
             shift = (cfg.serialized_window // 2) if (mode == "serialized" and i % 2 == 1) else 0
             return mode, shift
 
+        # Per-element slot layouts: broadcast unbatched coords/valid to the
+        # feats batch so each element attends within its own voxel set.
+        b = x.shape[0]
+        coords_b = coords if coords.ndim == 3 else jnp.broadcast_to(coords, (b, *coords.shape))
+        valid_b = valid if valid.ndim == 2 else jnp.broadcast_to(valid, (b, *valid.shape))
         for i in range(cfg.depth):
             mode, shift = batch_block(i)
-            sparse = (mode, coords[0] if coords.ndim == 3 else coords,
-                      valid[0] if valid.ndim == 2 else valid, shift)
-            # vmap inside _Attention handles the batch; coords assumed shared
-            # per batch element in this schedule (slot layout is per-batch in
-            # the pipeline, which runs B=1 per object).
+            sparse = (mode, coords_b, valid_b, shift)
             x = DiTBlock(cfg, name=f"block{i}")(x, cond_vec, cond_tokens, sparse=sparse)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm_out")(x)
         return nn.Dense(

@@ -93,6 +93,26 @@ def test_slat_flow_model_masks_invalid():
     assert (np.asarray(out)[0, 20:] == 0).all()
 
 
+def test_slat_flow_batched_matches_per_element():
+    """Batched SparseDiT with DIFFERENT per-element slot layouts must equal
+    running each element alone (guards the vmapped coords/valid path)."""
+    cfg = SLatConfig.tiny_test()
+    model = SLatFlowModel(cfg)
+    n = 32
+    k = jax.random.split(jax.random.PRNGKey(7), 6)
+    feats = jax.random.normal(k[0], (2, n, cfg.latent_channels))
+    coords = jax.random.randint(k[1], (2, n, 3), 0, cfg.grid_size)
+    valid = jnp.stack([jnp.arange(n) < 20, jnp.arange(n) < 27])
+    t = jnp.array([0.3, 0.7])
+    cond = jax.random.normal(k[2], (2, 4, cfg.dit.cond_dim))
+    params = model.init(k[3], feats, coords, valid, t, cond)
+    batched = np.asarray(model.apply(params, feats, coords, valid, t, cond))
+    for b in range(2):
+        single = np.asarray(model.apply(
+            params, feats[b:b+1], coords[b:b+1], valid[b:b+1], t[b:b+1], cond[b:b+1]))
+        np.testing.assert_allclose(batched[b], single[0], atol=2e-5, rtol=1e-4)
+
+
 @pytest.mark.slow
 def test_trellis_pipeline_end_to_end():
     pipe = TrellisPipeline(TrellisPipelineConfig.tiny_test())
