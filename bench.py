@@ -16,6 +16,11 @@ slots, 512 points/instance).
 Prints ONE JSON line:
   {"metric": ..., "value": images/sec on TPU, "unit": "images/s",
    "vs_baseline": speedup over the host reference-shaped loop}
+
+`value` (TPU images/s) is the stable metric of record (540-543 across
+runs). `vs_baseline` divides by a host measurement and inflates under
+concurrent host load despite the best-of-3 window minimum — quiet-host
+readings are ~650-800x; treat larger ratios as load artifacts.
 """
 
 from __future__ import annotations
@@ -89,10 +94,19 @@ def bench_tpu(rel, metric, dmask, K, masks) -> float:
 
 def bench_host(rel, metric, dmask, K, masks) -> float:
     """Reference-shaped single-image host loop (sklearn + numpy)."""
+    rng = np.random.default_rng(0)
+    # Best of 3 windows: the fastest window has the least interference from
+    # concurrent host load, giving a conservative (stable) vs_baseline.
+    best = 0.0
+    for _window in range(3):
+        best = max(best, _bench_host_window(rel, metric, dmask, K, masks, rng))
+    return best
+
+
+def _bench_host_window(rel, metric, dmask, K, masks, rng) -> float:
     from sklearn.decomposition import PCA
     from sklearn.linear_model import LinearRegression, RANSACRegressor
 
-    rng = np.random.default_rng(0)
     t0 = time.perf_counter()
     for b in range(HOST_TIMED_IMAGES):
         # stage-1 alignment (depth.py:52-92 shape: RANSAC over all px)
