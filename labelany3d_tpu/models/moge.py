@@ -70,7 +70,10 @@ class MoGeConfig:
         intermediate_layers=4 (last four blocks), split mask head,
         exp-remapped output (moge_model.py:148-199)."""
         return MoGeConfig(
-            backbone=ViTConfig.large(out_indices=(20, 21, 22, 23), norm_hiddens=True),
+            backbone=ViTConfig.large(
+                out_indices=(20, 21, 22, 23), norm_hiddens=True,
+                pos_grid=(37, 37),  # DINOv2-L/14 checkpoint grid (518px)
+            ),
             head_style="reference",
             remap_output="exp",
             output_mask=True,

@@ -14,7 +14,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from labelany3d_tpu.models.depth_pro import DepthProConfig, DepthProModel, depth_pro_infer
+from labelany3d_tpu.models.depth_pro import (
+    DepthPro35,
+    DepthPro35Config,
+    DepthProConfig,
+    DepthProModel,
+    depth_pro35_infer,
+    depth_pro_infer,
+)
 from labelany3d_tpu.models.moge import (
     MoGeConfig,
     MoGeModel,
@@ -51,8 +58,12 @@ class JaxDepthBackend:
     ):
         self.moge_cfg = moge_cfg or MoGeConfig()
         self.dp_cfg = depth_pro_cfg or DepthProConfig()
+        # DepthPro35Config selects the checkpoint-faithful 35-patch model;
+        # it runs at its fixed native img_size (the reference resizes
+        # internally to 1536, depth_pro.py:262), so infer resizes around it.
+        self._dp35 = isinstance(self.dp_cfg, DepthPro35Config)
         self.moge = MoGeModel(self.moge_cfg)
-        self.depth_pro = DepthProModel(self.dp_cfg)
+        self.depth_pro = DepthPro35(self.dp_cfg) if self._dp35 else DepthProModel(self.dp_cfg)
         self._params_moge = params_moge
         self._params_dp = params_depth_pro
         self._seed = seed
@@ -89,7 +100,10 @@ class JaxDepthBackend:
             self._params_moge = self._cast_inference_params(p)
         if self._params_dp is None:
             k = jax.random.PRNGKey(self._seed + 1)
-            p = self.depth_pro.init(k, jnp.zeros((1, h, w, 3)))["params"]
+            s = self.dp_cfg.img_size if self._dp35 else h
+            p = self.depth_pro.init(
+                k, jnp.zeros((1, s, s, 3) if self._dp35 else (1, h, w, 3))
+            )["params"]
             self._params_dp = self._cast_inference_params(p)
 
     def _step(self, h: int, w: int):
@@ -100,7 +114,16 @@ class JaxDepthBackend:
             m = moge_infer(self.moge, pm, images, apply_mask=True)
             K_pix = pixel_intrinsics_from_normalized(m["intrinsics"], w, h)
             f_px = K_pix[:, 0, 0]
-            d = depth_pro_infer(self.depth_pro, pd, images, f_px=f_px)
+            if self._dp35:
+                s = self.dp_cfg.img_size
+                imgs_dp = jax.image.resize(images, (images.shape[0], s, s, 3),
+                                           method="bilinear")
+                # focal rescales with the resize of the width axis
+                d = depth_pro35_infer(self.depth_pro, pd, imgs_dp, f_px=f_px * (s / w))
+                d = {"depth": jax.image.resize(d["depth"], (images.shape[0], h, w),
+                                               method="bilinear")}
+            else:
+                d = depth_pro_infer(self.depth_pro, pd, images, f_px=f_px)
             return {
                 "relative_depth": m["depth"],
                 "metric_depth": d["depth"],
@@ -204,6 +227,14 @@ def register_default_backends() -> None:
     def make_depth(preset: str = "large", **kw):
         if preset == "tiny_test":
             return JaxDepthBackend(MoGeConfig.tiny_test(), DepthProConfig.tiny_test())
+        if preset == "vitl_reference":
+            # checkpoint-faithful graphs: load converted weights via
+            # models/convert.py (docs/WEIGHTS.md) and pass params_* kwargs.
+            return JaxDepthBackend(MoGeConfig.vitl(), DepthPro35Config(), **kw)
+        if preset == "tiny_reference":
+            return JaxDepthBackend(
+                MoGeConfig.tiny_reference_test(), DepthPro35Config.tiny_test(), **kw
+            )
         backbone = {
             "small": ViTConfig.small,
             "base": ViTConfig.base,
