@@ -360,5 +360,10 @@ def match_images(
     Pipeline parity: `src/matching/matcher.py:13-92` minus the PyTorch3D
     coordinate flips (our renderer is already OpenCV-convention).
     """
+    if img0.ndim != 3 or img1.ndim != 3:
+        raise ValueError(
+            f"match_images takes unbatched (H, W, 3) images; got "
+            f"{img0.shape} / {img1.shape}"
+        )
     out = model.apply({"params": params}, img0[None], img1[None])
     return reciprocal_nn_match(out["desc0"][0], out["desc1"][0], subsample=subsample)

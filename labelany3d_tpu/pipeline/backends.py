@@ -235,11 +235,17 @@ def register_default_backends() -> None:
             return JaxDepthBackend(
                 MoGeConfig.tiny_reference_test(), DepthPro35Config.tiny_test(), **kw
             )
-        backbone = {
+        presets = {
             "small": ViTConfig.small,
             "base": ViTConfig.base,
             "large": ViTConfig.large,
-        }[preset]
+        }
+        if preset not in presets:
+            raise ValueError(
+                f"Unknown models.moge.preset: {preset!r} (choose small | base | "
+                "large | tiny_test | vitl_reference | tiny_reference)"
+            )
+        backbone = presets[preset]
         return JaxDepthBackend(
             MoGeConfig(backbone=backbone(out_indices=(5, 11, 17, 23) if preset == "large" else (2, 5, 8, 11))),
             DepthProConfig(backbone=backbone()),
