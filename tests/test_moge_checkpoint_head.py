@@ -122,11 +122,13 @@ class TorchHead(tnn.Module):
         return torch.cat([blk(x) for blk in self.output_block], dim=1)
 
 
-def test_checkpoint_head_matches_torch_replica():
+@pytest.mark.parametrize("gh,gw,img_h,img_w", [(4, 4, 32, 32), (4, 6, 32, 48)])
+def test_checkpoint_head_matches_torch_replica(gh, gw, img_h, img_w):
+    # The rectangular case exercises the aspect-dependent view-plane UV
+    # spans (geometry_torch.py:45-46) in every concat site.
     torch.manual_seed(0)
     rng = np.random.default_rng(0)
-    b, gh, gw = 2, 4, 4
-    img_h = img_w = 32
+    b = 2
     n_levels = len(CFG.backbone.out_indices)
 
     replica = TorchHead(CFG, DIM_IN, n_levels).eval()
