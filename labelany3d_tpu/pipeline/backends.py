@@ -93,8 +93,33 @@ class JaxDepthBackend:
 
         return jax.tree_util.tree_map_with_path(cast, params)
 
+    def _pin_pos_grids(self, h: int, w: int):
+        """Pin learned pos-embed grids to the first bucket's token grid so
+        later aspect buckets bicubic-interpolate (ViTConfig.pos_grid)
+        instead of failing the parameter-shape check."""
+        import dataclasses
+
+        def pin(backbone, div=1):
+            if backbone.pos_embed != "learned" or backbone.pos_grid is not None:
+                return backbone
+            p = backbone.patch_size
+            return dataclasses.replace(
+                backbone, pos_grid=(h // div // p, w // div // p))
+
+        mb = pin(self.moge_cfg.backbone)
+        if mb is not self.moge_cfg.backbone:
+            self.moge_cfg = dataclasses.replace(self.moge_cfg, backbone=mb)
+            self.moge = MoGeModel(self.moge_cfg)
+        if not self._dp35:
+            # DepthProModel's ViT sees half-size tiles (2x2 tiling).
+            db = pin(self.dp_cfg.backbone, div=2)
+            if db is not self.dp_cfg.backbone:
+                self.dp_cfg = dataclasses.replace(self.dp_cfg, backbone=db)
+                self.depth_pro = DepthProModel(self.dp_cfg)
+
     def _ensure_params(self, h: int, w: int):
         if self._params_moge is None:
+            self._pin_pos_grids(h, w)
             k = jax.random.PRNGKey(self._seed)
             p = self.moge.init(k, jnp.zeros((1, h, w, 3)))["params"]
             self._params_moge = self._cast_inference_params(p)

@@ -91,6 +91,10 @@ DEFAULT_CONFIG: dict = {
         "render_size": 512,             # registration renderer resolution
         "image_height": 512,            # resolution bucket
         "image_width": 512,
+        # Aspect-ratio buckets for stage 1: each image is batched at the
+        # closest-aspect bucket (equal-area variants of image_height/width,
+        # dims snapped to /16). [1.0] = single square bucket (default).
+        "aspect_buckets": [1.0],
         "mesh": {"data": -1},          # -1 = all local devices
         "dtype": "bfloat16",
         "seed": 0,
@@ -127,9 +131,37 @@ class PipelineConfig:
     render_size: int = 512
     image_height: int = 512
     image_width: int = 512
+    aspect_buckets: tuple = (1.0,)
     bbox_method: str = "pca"
     seed: int = 0
     use_fakes: bool = False
+
+    def bucket_sizes(self) -> list:
+        """(h, w) buckets. Single-bucket mode (the default) is exactly the
+        configured size — identical to the pre-bucketing behavior. Multiple
+        aspects produce equal-area variants with dims snapped to /16; an
+        aspect matching the configured size maps to it verbatim."""
+        if len(self.aspect_buckets) == 1:
+            return [(self.image_height, self.image_width)]
+        area = self.image_height * self.image_width
+        cfg_aspect = self.image_width / self.image_height
+        sizes = []
+        for a in self.aspect_buckets:
+            if abs(a - cfg_aspect) < 1e-6:
+                sizes.append((self.image_height, self.image_width))
+                continue
+            w = max(16, int(round((area * a) ** 0.5 / 16)) * 16)
+            h = max(16, int(round(w / a / 16)) * 16)
+            sizes.append((h, w))
+        return sizes
+
+    def pick_bucket(self, h: int, w: int) -> tuple:
+        """Closest bucket by log-aspect distance."""
+        import math
+
+        a = w / h
+        return min(self.bucket_sizes(),
+                   key=lambda s: abs(math.log(a) - math.log(s[1] / s[0])))
 
     @staticmethod
     def from_node(cfg: ConfigNode) -> "PipelineConfig":
@@ -141,6 +173,7 @@ class PipelineConfig:
             render_size=int(c.render_size),
             image_height=int(c.image_height),
             image_width=int(c.image_width),
+            aspect_buckets=tuple(float(a) for a in c.aspect_buckets),
             bbox_method=str(cfg.run.bbox_method),
             seed=int(c.seed),
             use_fakes=bool(cfg.models.use_fakes),

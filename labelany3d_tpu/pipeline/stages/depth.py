@@ -49,17 +49,26 @@ class DepthStage:
         return SceneDir(os.path.join(self.save_dir, self.split, name)).ensure()
 
     def run(self, start_index: int, end_index: int) -> int:
-        """Process [start_index, end_index); returns #images computed."""
+        """Process [start_index, end_index); returns #images computed.
+
+        Images are grouped into aspect-ratio buckets (cfg.aspect_buckets):
+        each bucket is a separate static-shape jitted program; mixed-aspect
+        datasets keep near-native aspect instead of squashing to a square
+        (the reference processes per-image native resolution; fixed buckets
+        are the batched TPU equivalent).
+        """
         cfg = self.cfg
-        pending: list[tuple[dict, SceneDir, np.ndarray]] = []
+        pending: dict[tuple, list[tuple[dict, SceneDir, np.ndarray]]] = {}
         done = 0
 
-        def flush():
+        def flush(bucket):
             nonlocal done
-            if not pending:
+            group = pending.get(bucket, [])
+            if not group:
                 return
+            bh, bw = bucket
             batch = np.stack(
-                [resize_image(img, cfg.image_height, cfg.image_width) for _, _, img in pending]
+                [resize_image(img, bh, bw) for _, _, img in group]
             ).astype(np.float32) / 255.0
             out = self.backend.infer(batch)
             self._key, sub = jax.random.split(self._key)
@@ -68,10 +77,10 @@ class DepthStage:
             )
             aligned = np.asarray(aligned)
             K_bucket = np.asarray(out["K_pixels"])
-            for row, (info, scene, img) in enumerate(pending):
+            for row, (info, scene, img) in enumerate(group):
                 oh, ow = img.shape[:2]
                 depth_full = resize_nearest(aligned[row], oh, ow)
-                sy, sx = oh / cfg.image_height, ow / cfg.image_width
+                sy, sx = oh / bh, ow / bw
                 K = K_bucket[row].copy()
                 K[0] *= sx
                 K[1] *= sy
@@ -99,7 +108,7 @@ class DepthStage:
                     )
                     save_ply_mesh(scene.root / "depth_scene_no_edge.ply", mv, mf, mc)
                 done += 1
-            pending.clear()
+            group.clear()
 
         # Prefetch image decode on worker threads so host IO overlaps the
         # device batches (the reference loads synchronously per image,
@@ -119,8 +128,10 @@ class DepthStage:
             depth=2 * cfg.batch_size, num_workers=4,
         )
         for info, scene, img in loaded:
-            pending.append((info, scene, img))
-            if len(pending) == cfg.batch_size:
-                flush()
-        flush()
+            bucket = cfg.pick_bucket(*img.shape[:2])
+            pending.setdefault(bucket, []).append((info, scene, img))
+            if len(pending[bucket]) == cfg.batch_size:
+                flush(bucket)
+        for bucket in list(pending):
+            flush(bucket)
         return done
