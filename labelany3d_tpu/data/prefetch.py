@@ -8,17 +8,20 @@ decodes the next batches while the device runs the current one.
 
 from __future__ import annotations
 
-import queue
 import threading
 from typing import Callable, Iterable, Iterator, TypeVar
 
 T = TypeVar("T")
 
-_SENTINEL = object()
-
 
 class Prefetcher:
-    """Iterate `fn(item)` over `items` with a bounded lookahead."""
+    """Iterate `fn(item)` over `items` with a bounded lookahead.
+
+    At most `depth` decoded-but-unconsumed results exist at any time: workers
+    acquire a slot from a counting semaphore before claiming an index, and
+    the consumer releases the slot only after popping the result, so host
+    memory is bounded by `depth` decoded items regardless of split size.
+    """
 
     def __init__(
         self,
@@ -29,11 +32,11 @@ class Prefetcher:
     ):
         self.items = list(items)
         self.fn = fn
-        self.depth = depth
+        self.depth = max(1, depth)
         self.num_workers = max(1, num_workers)
 
     def __iter__(self) -> Iterator[T]:
-        out: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        slots = threading.Semaphore(self.depth)
         idx_lock = threading.Lock()
         state = {"next": 0}
         results: dict[int, object] = {}
@@ -43,9 +46,11 @@ class Prefetcher:
 
         def worker():
             while True:
+                slots.acquire()
                 with idx_lock:
                     i = state["next"]
                     if i >= n:
+                        slots.release()  # hand the slot to a sibling's exit
                         return
                     state["next"] = i + 1
                 try:
@@ -65,6 +70,7 @@ class Prefetcher:
                 while i not in results:
                     res_ready.wait()
                 r = results.pop(i)
+            slots.release()
             if isinstance(r, Exception):
                 raise r
             yield r

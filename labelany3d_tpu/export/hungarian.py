@@ -111,4 +111,10 @@ def auction_assignment(
     prices0 = jnp.zeros(m, jnp.float32)
     assigned0 = jnp.full(n, -1, jnp.int32)
     _, assigned = jax.lax.fori_loop(0, num_iters, body, (prices0, assigned0))
-    return jnp.where(row_valid, assigned, -1)
+    # A valid row whose every valid column is masked (or when valid rows
+    # outnumber valid columns) can still have bid on a neg-masked column;
+    # gate the result on column validity too, not just row validity.
+    assigned_ok = jnp.where(
+        assigned >= 0, col_valid[jnp.clip(assigned, 0, m - 1)], False
+    )
+    return jnp.where(row_valid & assigned_ok, assigned, -1)

@@ -58,11 +58,21 @@ def scene_to_omni3d(
     image_id: int,
     annotation_id_start: int,
     dataset_id: int,
+    tight_fallback: bool = True,
 ) -> tuple[dict | None, list[dict]]:
     """Convert one scene's artifacts into (image_dict, annotations).
 
-    Returns (None, []) when the scene has no usable boxes (the reference
-    skips such scenes, `combine_results.py:213-215`).
+    Returns (None, []) only when the scene has no boxes at all (the
+    reference skips such scenes, `combine_results.py:213-215`). When boxes
+    exist but every annotation is dropped for an unknown category, the image
+    entry is still emitted (and the caller still advances image_id), exactly
+    as the reference does — so image ids and file mappings stay aligned.
+
+    `tight_fallback` (default on) is an intentional robustness improvement
+    over the reference: annotations left unmatched by Hungarian matching get
+    `bbox2D_tight = bbox2D_trunc` instead of a missing key, so downstream
+    consumers never KeyError. Pass False to reproduce the reference's
+    missing-key behavior bit-for-bit (`combine_results.py:278-286`).
     """
     K = np.asarray(cam_params["K"], np.float64)
     H, W = cam_params["H"], cam_params["W"]
@@ -121,11 +131,10 @@ def scene_to_omni3d(
         matches = hungarian_match(trunc_boxes, np.asarray(bbox2d_list, np.float64))
         for i, j, _iou in matches:
             annotations[i]["bbox2D_tight"] = bbox2d_list[j]
-    for a in annotations:
-        a.setdefault("bbox2D_tight", a["bbox2D_trunc"])
+    if tight_fallback:
+        for a in annotations:
+            a.setdefault("bbox2D_tight", a["bbox2D_trunc"])
 
-    if not annotations:
-        return None, []
     return image_dict, annotations
 
 

@@ -55,6 +55,7 @@ class JaxDepthBackend:
         params_depth_pro=None,
         seed: int = 0,
         use_mesh: bool | None = None,
+        pin_hw: tuple | None = None,
     ):
         self.moge_cfg = moge_cfg or MoGeConfig()
         self.dp_cfg = depth_pro_cfg or DepthProConfig()
@@ -77,6 +78,11 @@ class JaxDepthBackend:
             from labelany3d_tpu.parallel.mesh import make_mesh
 
             self._mesh = make_mesh(data=-1, model=1)
+        # Pin learned pos-embed grids at construction so parameter shapes do
+        # not depend on which aspect bucket reaches _ensure_params first
+        # (reproducibility across dataset index ranges).
+        if pin_hw is not None:
+            self._pin_pos_grids(*pin_hw)
 
     @staticmethod
     def _cast_inference_params(params):
@@ -251,7 +257,7 @@ def register_default_backends() -> None:
 
     def make_depth(preset: str = "large", **kw):
         if preset == "tiny_test":
-            return JaxDepthBackend(MoGeConfig.tiny_test(), DepthProConfig.tiny_test())
+            return JaxDepthBackend(MoGeConfig.tiny_test(), DepthProConfig.tiny_test(), **kw)
         if preset == "vitl_reference":
             # checkpoint-faithful graphs: load converted weights via
             # models/convert.py (docs/WEIGHTS.md) and pass params_* kwargs.
@@ -274,6 +280,7 @@ def register_default_backends() -> None:
         return JaxDepthBackend(
             MoGeConfig(backbone=backbone(out_indices=(5, 11, 17, 23) if preset == "large" else (2, 5, 8, 11))),
             DepthProConfig(backbone=backbone()),
+            **kw,
         )
 
     from labelany3d_tpu.pipeline.stages.generative import (

@@ -93,7 +93,9 @@ def main(argv=None) -> int:
 
         # models.tiny overrides the preset (same contract as other stages).
         preset = "tiny_test" if bool(cfg_node.models.tiny) else str(cfg_node.models.moge.preset)
-        backend = get_model("depth", preset=preset)
+        # Pin pos-embed grids to the configured primary bucket so parameter
+        # shapes are independent of dataset iteration order.
+        backend = get_model("depth", preset=preset, pin_hw=cfg.bucket_sizes()[0])
         stage = DepthStage(cfg, backend, loader, source, args.save_dir, args.split)
         n = stage.run(args.start_index, args.end_index)
         print(f"[depth] processed {n} images")

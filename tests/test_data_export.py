@@ -189,6 +189,20 @@ def test_auction_with_padding(rng):
     assert (out[:3] >= 0).all()
 
 
+def test_auction_invalid_columns(rng):
+    """A row whose every valid column is taken (valid rows > valid cols)
+    must return -1, never an invalid column index."""
+    benefit = rng.uniform(size=(4, 6)).astype(np.float32)
+    col_valid = jnp.array([True, True, False, False, False, False])
+    out = np.asarray(
+        auction_assignment(jnp.asarray(benefit), col_valid=col_valid)
+    )
+    assigned = out[out >= 0]
+    assert len(assigned) <= 2
+    assert set(assigned.tolist()) <= {0, 1}
+    assert (out == -1).sum() >= 2
+
+
 # ------------------------------------------------------------- omni3d export
 
 def _toy_scene_artifacts():
@@ -227,6 +241,37 @@ def test_scene_to_omni3d():
     assert proj[0] < 64 < proj[2] and proj[1] < 48 < proj[3]
     assert a["bbox2D_tight"] == [10, 10, 100, 80]
     assert a["id"] == 100000000
+
+
+def test_scene_to_omni3d_all_unknown_categories_keeps_image():
+    """Reference parity (`combine_results.py`): the image entry is emitted
+    (and image_id advances) whenever 3dbbox.json is non-empty, even if every
+    annotation is dropped for unknown category — keeps ids aligned."""
+    cam_params, bbox_list = _toy_scene_artifacts()
+    only_unknown = [b for b in bbox_list if b["category_name"] != "chair"]
+    img, annos = scene_to_omni3d(
+        "000000000002", cam_params, only_unknown, None,
+        "val", 1000001, 100000001, 22,
+    )
+    assert img is not None and img["id"] == 1000001
+    assert annos == []
+    # empty 3dbbox.json still skips the scene entirely
+    img, annos = scene_to_omni3d(
+        "000000000003", cam_params, [], None, "val", 1000002, 100000002, 22,
+    )
+    assert img is None and annos == []
+
+
+def test_scene_to_omni3d_tight_fallback_flag():
+    """tight_fallback=False reproduces the reference's missing-key behavior
+    for annotations unmatched by Hungarian matching."""
+    cam_params, bbox_list = _toy_scene_artifacts()
+    img, annos = scene_to_omni3d(
+        "000000000001", cam_params, bbox_list, None,
+        "val", 1000000, 100000000, 22, tight_fallback=False,
+    )
+    assert img is not None and len(annos) == 1
+    assert "bbox2D_tight" not in annos[0]
 
 
 def test_combine_results_directory_contract(tmp_path):

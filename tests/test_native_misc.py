@@ -41,6 +41,31 @@ def test_prefetcher_order_and_concurrency():
     assert out == [i * i for i in range(20)]
 
 
+def test_prefetcher_bounded_lookahead():
+    """Workers never hold more than `depth` decoded-but-unconsumed results
+    (the semaphore gate; without it a large split OOMs the host)."""
+    import threading
+
+    lock = threading.Lock()
+    state = {"produced": 0, "consumed": 0, "max_ahead": 0}
+
+    def work(i):
+        with lock:
+            state["produced"] += 1
+            ahead = state["produced"] - state["consumed"]
+            state["max_ahead"] = max(state["max_ahead"], ahead)
+        return i
+
+    out = []
+    for r in Prefetcher(range(50), work, depth=3, num_workers=4):
+        time.sleep(0.002)  # slow consumer: workers would run far ahead
+        with lock:
+            state["consumed"] += 1
+        out.append(r)
+    assert out == list(range(50))
+    assert state["max_ahead"] <= 3 + 1  # depth slots (+1 for in-flight pop)
+
+
 def test_prefetcher_propagates_errors():
     def work(i):
         if i == 3:
