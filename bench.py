@@ -1,40 +1,71 @@
-"""Benchmark: fused labeling core throughput on TPU vs reference-shaped host.
+"""Benchmark: TPU throughput of the labeling pipeline's compute paths.
 
-Measures the geometric heart of the pipeline (BASELINE.json configs 1+2):
-RANSAC depth alignment -> back-projection -> per-instance point extraction
--> oriented 3D box fit, at production shapes (512x512 images, 16 instance
-slots, 512 points/instance).
-
-  * TPU path: `labelany3d_tpu.pipeline.labeling.labeling_step` — one jitted
-    XLA program per image batch.
-  * Baseline: the same algorithm reference-shaped — per-image host loop with
-    sklearn RANSACRegressor alignment, numpy back-projection, per-object
-    boolean indexing + 500-pt subsample + PCA box fit, mirroring
-    `src/batch_scripts/depth.py:52-92`, `src/util.py:52-75`,
-    `src/util_3dbox.py:106-178` of the reference.
+Covers BASELINE.json configs 1-5:
+  * configs 1+2 (headline `value`): the fused labeling core — RANSAC depth
+    alignment -> back-projection -> per-instance point extraction ->
+    oriented 3D box fit at production shapes (512x512, 16 instance slots,
+    512 points/instance), one jitted XLA program per image batch
+    (`labelany3d_tpu.pipeline.labeling.labeling_step`).
+  * config 3 (`extra.depth_model_images_per_sec`): the production depth
+    models — MoGe ViT-L/14 at 518^2 (batch 4) and DepthPro35 35-patch
+    pyramid at 1536^2 (batch 1) — reported separately and as the fused
+    per-image rate 1/(1/moge + 1/dp35), matching the reference stage-1 cost
+    shape (`src/batch_scripts/depth.py:120-167`: both models per image).
+  * config 4 (`extra.registration_ms_per_object`): MASt3R-ViT-L-shaped
+    two-view matcher forward at 512^2 + reciprocal-NN + RANSAC PnP; the
+    reference runs ~8 view pairs + 2 PnP solves per object
+    (`src/matching/process_image_space.py:34-159`).
+  * config 5 (`extra.e2e_fast_images_per_sec`): end-to-end depth-labeling
+    shard — DepthStage (real ViT-L backend) + BoxStage + export on a
+    synthetic COCO-layout dataset, *including* host artifact IO.
 
 Prints ONE JSON line:
   {"metric": ..., "value": images/sec on TPU, "unit": "images/s",
-   "vs_baseline": speedup over the host reference-shaped loop}
+   "vs_baseline": speedup over the PINNED host baseline, "extra": {...}}
 
-`value` (TPU images/s) is the stable metric of record (540-543 across
-runs). `vs_baseline` divides by a host measurement and inflates under
-concurrent host load despite the best-of-3 window minimum — quiet-host
-readings are ~650-800x; treat larger ratios as load artifacts.
+`vs_baseline` divides by PINNED_HOST_IPS — a host-loop rate recorded once
+on a quiet machine (see below), NOT re-measured per run, so the ratio no
+longer moves with background host load. `python bench.py --rebaseline`
+re-measures the host loop and prints the suggested new constant.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
-
 
 B, H, W, I, PTS = 8, 512, 512, 16, 512
 TPU_WARMUP_ITERS = 10   # tunnel cold-start; see bench_tpu timing notes
 TPU_TIMED_ITERS = 50
 HOST_TIMED_IMAGES = 3
+# Wall-clock budget for the extra (config 3-5) sub-benches: each starts
+# only if this much time remains, so the headline JSON line always lands.
+EXTRA_BUDGET_S = 560.0
+_T_START = time.perf_counter()
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the big ViT-L programs compile
+    once per machine, not once per bench run."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/la3d_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax or read-only tmp: run uncached
+
+# Reference-shaped host loop (sklearn RANSAC + numpy backprojection + PCA
+# box fit per image, mirroring `src/batch_scripts/depth.py:52-92`,
+# `src/util.py:52-75`, `src/util_3dbox.py:106-178`), measured with
+# `--rebaseline` on a quiet machine. Best window observed across sessions
+# (conservative: a generous host rate LOWERS vs_baseline):
+#   2026-08-16 r01 driver run: 0.751 im/s; 2026-08-16 10-window quiet
+#   re-measure: 0.687 im/s max. Pinned at the best of these.
+PINNED_HOST_IPS = 0.751
 
 
 def make_batch(rng):
@@ -56,18 +87,43 @@ def make_batch(rng):
     return rel, metric, dmask, K, masks
 
 
+def _zeros_params(model, *example_args):
+    """eval_shape + zeros: benchmarks time compute, not random init."""
+    import jax
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *example_args)["params"]
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def _timed_chain(fn, args_fn, iters, warmup=2):
+    """Time `iters` chained executions of fn(acc, *args) -> acc.
+
+    The tunnel backend executes lazily — dispatch and even block_until_ready
+    can return before remote execution. Each step folds its outputs into an
+    accumulator consumed by the next step, and the wall clock closes over a
+    host fetch of the final value, forcing the whole chain.
+    """
+    import jax.numpy as jnp
+
+    acc = jnp.float32(0.0)
+    for it in range(warmup):
+        acc = fn(acc, *args_fn(it))
+    float(acc)
+    acc = jnp.float32(0.0)
+    t0 = time.perf_counter()
+    for it in range(iters):
+        acc = fn(acc, *args_fn(100 + it))
+    float(acc)
+    return time.perf_counter() - t0
+
+
 def bench_tpu(rel, metric, dmask, K, masks) -> float:
     import jax
     import jax.numpy as jnp
 
     from labelany3d_tpu.pipeline.labeling import labeling_step
 
-    # Timing methodology: the tunnel backend executes lazily — dispatch and
-    # even block_until_ready can return before remote execution, inflating
-    # naive loop timings by orders of magnitude. Each step therefore folds
-    # its outputs into an accumulator consumed by the next step, and the
-    # wall clock closes over a host fetch of the final value, which forces
-    # the whole chain.
     def step(acc, r, m, dm, k, msk, key):
         aligned, out = labeling_step(r, m, dm, k, msk, key, num_points=PTS)
         return acc + out.boxes.center_cam.sum() + aligned[0, 0, 0]
@@ -82,23 +138,212 @@ def bench_tpu(rel, metric, dmask, K, masks) -> float:
     float(acc)  # force the warmup chain
     rates = []
     for window in range(3):
-        acc = jnp.float32(0.0)
-        t0 = time.perf_counter()
-        for it in range(TPU_TIMED_ITERS):
-            acc = fn(acc, *args, jax.random.fold_in(key, window * 1000 + it))
-        float(acc)  # forces all TPU_TIMED_ITERS executions
-        rates.append(B * TPU_TIMED_ITERS / (time.perf_counter() - t0))
+        dt = _timed_chain(
+            lambda acc, *a: fn(acc, *a),
+            lambda it: args + (jax.random.fold_in(key, it),),
+            TPU_TIMED_ITERS,
+            warmup=0,
+        )
+        rates.append(B * TPU_TIMED_ITERS / dt)
     rates.sort()
     return rates[1]  # median of 3 windows
 
 
-def bench_host(rel, metric, dmask, K, masks) -> float:
-    """Reference-shaped single-image host loop (sklearn + numpy)."""
+def bench_depth_models() -> dict:
+    """Config 3: production depth-model forwards (random weights — timing
+    is weight-value independent for dense ViTs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from labelany3d_tpu.models.depth_pro import (
+        DepthPro35,
+        DepthPro35Config,
+        depth_pro35_infer,
+    )
+    from labelany3d_tpu.models.moge import MoGeConfig, MoGeModel, moge_infer
+
     rng = np.random.default_rng(0)
-    # Best of 3 windows: the fastest window has the least interference from
-    # concurrent host load, giving a conservative (stable) vs_baseline.
+
+    # MoGe ViT-L/14 at the production 518^2 bucket, batch 4.
+    bm, sm = 4, 518
+    moge = MoGeModel(MoGeConfig.vitl())
+    imgs_m = jnp.asarray(rng.uniform(size=(bm, sm, sm, 3)).astype(np.float32))
+    pm = _zeros_params(moge, imgs_m[:1])
+
+    def moge_step(acc, p, x):
+        out = moge_infer(moge, p, x, apply_mask=True)
+        return acc + out["depth"].sum() + out["intrinsics"].sum()
+
+    fm = jax.jit(moge_step)
+    dt = _timed_chain(fm, lambda it: (pm, imgs_m), iters=10)
+    moge_ips = bm * 10 / dt
+
+    # DepthPro35 35-patch pyramid at its native 1536^2, batch 1.
+    cfg = DepthPro35Config()
+    dp = DepthPro35(cfg)
+    sd = cfg.img_size
+    imgs_d = jnp.asarray(rng.uniform(size=(1, sd, sd, 3)).astype(np.float32))
+    pd = _zeros_params(dp, imgs_d)
+    fpx = jnp.full((1,), 1000.0)
+
+    def dp_step(acc, p, x):
+        out = depth_pro35_infer(dp, p, x, f_px=fpx)
+        return acc + out["depth"].sum()
+
+    fd = jax.jit(dp_step)
+    dt = _timed_chain(fd, lambda it: (pd, imgs_d), iters=6)
+    dp_ips = 6 / dt
+
+    # Reference stage-1 runs both models per image (depth.py:144-153).
+    fused = 1.0 / (1.0 / moge_ips + 1.0 / dp_ips)
+    return {
+        "moge_vitl518_images_per_sec": round(moge_ips, 2),
+        "depthpro35_1536_images_per_sec": round(dp_ips, 2),
+        "depth_model_images_per_sec": round(fused, 2),
+    }
+
+
+def bench_registration() -> dict:
+    """Config 4: matcher forward (MASt3R-ViT-L shape, 512^2 pair) +
+    reciprocal-NN + hypothesis-batch RANSAC PnP, as one jitted program.
+
+    Reported per object: the reference matches ~8 rendered views and solves
+    PnP twice per object (`process_image_space.py:34-159`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from labelany3d_tpu.geometry.pnp import solve_pnp_ransac
+    from labelany3d_tpu.models.matcher import MatcherConfig, TwoViewMatcher
+    from labelany3d_tpu.ops.reciprocal_nn import reciprocal_nn_match
+
+    rng = np.random.default_rng(0)
+    s = 512
+    model = TwoViewMatcher(MatcherConfig.mast3r_vitl())
+    img0 = jnp.asarray(rng.uniform(size=(1, s, s, 3)).astype(np.float32))
+    img1 = jnp.asarray(rng.uniform(size=(1, s, s, 3)).astype(np.float32))
+    params = _zeros_params(model, img0, img1)
+    K = jnp.asarray([[560.44, 0, 256.0], [0, 560.44, 256.0], [0, 0, 1]], jnp.float32)
+
+    def pair_step(acc, p, a, b, key):
+        out = model.apply({"params": p}, a, b)
+        m = reciprocal_nn_match(out["desc0"][0], out["desc1"][0])
+        # Lift matched render pixels to a synthetic depth plane -> 3D, PnP.
+        pts3d = jnp.concatenate(
+            [(m.xy1 - 256.0) / 560.44 * 2.0, jnp.full((m.xy1.shape[0], 1), 2.0)],
+            axis=-1,
+        )
+        pnp = solve_pnp_ransac(pts3d, m.xy0, K, valid=m.valid, key=key)
+        return acc + pnp.rotation.sum() + pnp.translation.sum() + m.xy0.sum()
+
+    fn = jax.jit(pair_step)
+    key = jax.random.PRNGKey(0)
+    iters = 8
+    dt = _timed_chain(
+        fn, lambda it: (params, img0, img1, jax.random.fold_in(key, it)), iters=iters
+    )
+    ms_per_pair = dt / iters * 1000.0
+    return {
+        "match_pnp_ms_per_view_pair": round(ms_per_pair, 1),
+        # 8 view pairs + re-render match + 2nd PnP ~= 9 pair-equivalents
+        "registration_ms_per_object": round(9 * ms_per_pair, 1),
+    }
+
+
+def bench_e2e_fast() -> dict:
+    """Config 5: end-to-end depth-labeling shard including host IO.
+
+    Synthetic COCO-layout scenes -> DepthStage (MoGe ViT-L 518 + DepthPro35
+    backend) -> BoxStage -> Omni3D export, timed over the full shard (minus
+    the first flush, which carries the jit compile)."""
+    import shutil
+    import tempfile
+
+    from labelany3d_tpu.data.rle import mask_to_rle, rle_to_string
+    from labelany3d_tpu.models.fakes import FakeScene
+    from labelany3d_tpu.pipeline.backends import JaxDepthBackend
+    from labelany3d_tpu.pipeline.config import PipelineConfig
+    from labelany3d_tpu.pipeline.stages.boxes import BoxStage
+    from labelany3d_tpu.pipeline.stages.common import ArrayImageSource
+    from labelany3d_tpu.pipeline.stages.depth import DepthStage
+    from labelany3d_tpu.pipeline.stages.export import ExportStage
+    from labelany3d_tpu.models.depth_pro import DepthProConfig
+    from labelany3d_tpu.models.moge import MoGeConfig
+
+    n_images = 8
+    size = 518
+    scene = FakeScene(width=size, height=size, fx=500.0, fy=500.0)
+    img, depth, masks, _ = scene.make(
+        [{"z": 4.0, "rect": (80, 90, 230, 260)}, {"z": 6.0, "rect": (280, 120, 460, 380)}]
+    )
+
+    class _Loader:
+        def __init__(self):
+            self.images = [
+                {"id": i + 1, "file_name": f"{i + 1:012d}.jpg", "height": size, "width": size}
+                for i in range(n_images)
+            ]
+
+        def get_image_by_index(self, i):
+            return self.images[i]
+
+        def get_annotations(self, image_id):
+            annos = []
+            for j, m in enumerate(masks):
+                ys, xs = np.nonzero(m)
+                annos.append(
+                    {
+                        "image_id": image_id,
+                        "category_id": 62,
+                        "iscrowd": 0,
+                        "bbox": [float(xs.min()), float(ys.min()),
+                                 float(xs.max() - xs.min() + 1), float(ys.max() - ys.min() + 1)],
+                        "segmentation": {
+                            "size": [size, size],
+                            "counts": rle_to_string(mask_to_rle(m)).decode(),
+                        },
+                    }
+                )
+            return annos
+
+        def __len__(self):
+            return len(self.images)
+
+    loader = _Loader()
+    source = ArrayImageSource({i + 1: img for i in range(n_images)})
+    cfg = PipelineConfig(
+        batch_size=4, max_instances=8, num_points=512,
+        image_height=size, image_width=size,
+    )
+    # Production-default backend: MoGe ViT-L + the fast 2x2 DepthPro
+    # redesign (the checkpoint-faithful DepthPro35's cost is measured
+    # separately in config 3; using it here would add a second multi-minute
+    # compile for the same information).
+    backend = JaxDepthBackend(
+        MoGeConfig.vitl(), DepthProConfig(), pin_hw=(size, size), use_mesh=False
+    )
+
+    tmp = tempfile.mkdtemp(prefix="la3d_bench_")
+    try:
+        # Warmup shard: carries the jit compiles of the fused depth program
+        # and the boxfit program so the timed shard measures steady state.
+        DepthStage(cfg, backend, loader, source, tmp + "/warm", "val").run(0, min(4, n_images))
+        BoxStage(cfg, loader, tmp + "/warm", "val").run(0, min(4, n_images))
+        t0 = time.perf_counter()
+        DepthStage(cfg, backend, loader, source, tmp + "/run", "val").run(0, n_images)
+        BoxStage(cfg, loader, tmp + "/run", "val").run(0, n_images)
+        ExportStage(tmp + "/run", "val").run()
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"e2e_fast_images_per_sec": round(n_images / dt, 2)}
+
+
+def bench_host(rel, metric, dmask, K, masks) -> float:
+    """Reference-shaped single-image host loop (sklearn + numpy); used only
+    by --rebaseline to refresh PINNED_HOST_IPS."""
+    rng = np.random.default_rng(0)
     best = 0.0
-    for _window in range(3):
+    for _window in range(10):
         best = max(best, _bench_host_window(rel, metric, dmask, K, masks, rng))
     return best
 
@@ -142,15 +387,35 @@ def _bench_host_window(rel, metric, dmask, K, masks, rng) -> float:
 def main():
     rng = np.random.default_rng(0)
     rel, metric, dmask, K, masks = make_batch(rng)
+
+    if "--rebaseline" in sys.argv:
+        host_ips = bench_host(rel, metric, dmask, K, masks)
+        print(json.dumps({"suggested_PINNED_HOST_IPS": round(host_ips, 3),
+                          "current": PINNED_HOST_IPS}))
+        return
+
+    _enable_compile_cache()
     tpu_ips = bench_tpu(rel, metric, dmask, K, masks)
-    host_ips = bench_host(rel, metric, dmask, K, masks)
+    extra: dict = {}
+    for name, fn, min_left in (("depth", bench_depth_models, 240.0),
+                               ("registration", bench_registration, 200.0),
+                               ("e2e", bench_e2e_fast, 180.0)):
+        left = EXTRA_BUDGET_S - (time.perf_counter() - _T_START)
+        if left < min_left:
+            extra[f"{name}_skipped"] = f"budget ({left:.0f}s left)"
+            continue
+        try:
+            extra.update(fn())
+        except Exception as e:  # a sub-bench failure must not kill the record
+            extra[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
     print(
         json.dumps(
             {
                 "metric": "labeling_core_images_per_sec_512px_16inst",
                 "value": round(tpu_ips, 2),
                 "unit": "images/s",
-                "vs_baseline": round(tpu_ips / host_ips, 2),
+                "vs_baseline": round(tpu_ips / PINNED_HOST_IPS, 2),
+                "extra": extra,
             }
         )
     )

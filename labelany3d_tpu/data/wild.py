@@ -89,6 +89,31 @@ class ColorSegmentation:
         return np.stack(masks)
 
 
+class SamSegmentation:
+    """Learned class-agnostic segmenter (the reference's EntityV2/CropFormer
+    role, `src/model_wrappers.py:482-543`): a SAM-architecture point-grid
+    auto-segmenter (`models/sam.py`, transformers-oracle verified). Pass
+    converted checkpoint params via `params` (docs/WEIGHTS.md); runs
+    random-weight with a one-shot warning otherwise."""
+
+    def __init__(self, cfg=None, params=None, max_instances: int = 16,
+                 points_per_side: int = 8, **kw):
+        from labelany3d_tpu.models.sam import SamAutoSegmentation, SamConfig
+
+        self.auto = SamAutoSegmentation(
+            cfg or SamConfig.vit_base(), params=params,
+            points_per_side=points_per_side, **kw,
+        )
+        self.max_instances = max_instances
+
+    def segment(self, image: np.ndarray) -> np.ndarray:
+        masks = self.auto.segment(np.asarray(image, np.uint8))
+        masks = masks[: self.max_instances]
+        if not masks:
+            return np.zeros((0,) + image.shape[:2], bool)
+        return np.stack(masks)
+
+
 class BorderPriorForeground:
     """CLIPSeg stand-in: pixels whose color matches the image border's
     dominant colors are background; the rest is foreground."""
@@ -274,11 +299,31 @@ def default_wild_source() -> WildInstanceSource:
 def make_wild_source(
     foreground: str = "border",
     tagger: str = "constant",
+    segmentation: str = "color",
     clipseg_path: str | None = None,
     clip_path: str | None = None,
+    sam_path: str | None = None,
 ) -> WildInstanceSource:
-    """Config-driven wild stack (CLI keys run.wild_foreground /
-    run.wild_tagger; model paths under models.*)."""
+    """Config-driven wild stack (CLI keys run.wild_segmentation /
+    run.wild_foreground / run.wild_tagger; model paths under models.*)."""
+    if segmentation in ("sam", "entityv2"):  # 'entityv2' = the reference's
+        # config name for the class-agnostic segmenter role; served by SAM.
+        params = None
+        if sam_path is not None:
+            import torch
+
+            from labelany3d_tpu.models.sam import SamConfig, convert_sam
+
+            state = torch.load(sam_path, map_location="cpu", weights_only=True)
+            params = convert_sam(
+                {k: v.numpy() for k, v in state.items()}, SamConfig.vit_base()
+            )
+        seg = SamSegmentation(params=params)
+    elif segmentation == "color":
+        seg = ColorSegmentation()
+    else:
+        raise ValueError(f"Unknown run.wild_segmentation: {segmentation!r} "
+                         "(expected 'color', 'sam' or 'entityv2')")
     if foreground == "border":
         fg = BorderPriorForeground()
     elif foreground == "clipseg":
@@ -297,4 +342,4 @@ def make_wild_source(
     else:
         raise ValueError(f"Unknown run.wild_tagger: {tagger!r} "
                          "(expected 'constant' or 'clip')")
-    return WildInstanceSource(ColorSegmentation(), fg, tg)
+    return WildInstanceSource(seg, fg, tg)

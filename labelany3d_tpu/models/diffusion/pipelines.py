@@ -2,19 +2,31 @@
 
 Each class implements the corresponding stage-backend protocol and slots
 into the model registry ('enhance' / 'completion' / zero123 for elevation).
-Conditioning encoders are lightweight built-ins (a small ViT image encoder
-and a hash-embedding text stub) — checkpoint conversion replaces them with
-CLIP weights; the sampling math and guidance scales follow the reference.
+Text conditioning goes through a real CLIP text encoder graph
+(`models/clip.py`, HF-checkpoint loadable by rename) and Zero123's image
+conditioning through a CLIP vision tower + cc_projection, matching the
+reference's conditioning stack (`src/model_wrappers.py:638-662`,
+`external/dreamgaussian/zero123.py`); the sampling math and guidance
+scales follow the reference. Until converted weights are installed the
+encoders run random-initialized and say so once at runtime.
 """
 
 from __future__ import annotations
 
 import dataclasses
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from labelany3d_tpu.models.clip import (
+    CLIPTextConfig,
+    CLIPTextEncoder,
+    CLIPVisionConfig,
+    CLIPVisionEncoder,
+)
+from labelany3d_tpu.data.bpe import load_tokenizer
 from labelany3d_tpu.models.diffusion.sampler import (
     DDIMConfig,
     add_noise,
@@ -24,14 +36,67 @@ from labelany3d_tpu.models.diffusion.sampler import (
 )
 from labelany3d_tpu.models.diffusion.unet import UNet2D, UNetConfig
 from labelany3d_tpu.models.diffusion.vae import AutoencoderKL, VAEConfig
-from labelany3d_tpu.models.vit import ViT, ViTConfig
+from labelany3d_tpu.utils.logging import warn_once
 
 
-def _text_tokens(prompt: str, dim: int, length: int = 8) -> jnp.ndarray:
-    """Deterministic hash-embedding text conditioning stub (CLIP stand-in)."""
-    rngs = [abs(hash((prompt, i))) % (2**31) for i in range(length)]
-    rows = [np.asarray(jax.random.normal(jax.random.PRNGKey(r), (dim,))) for r in rngs]
-    return jnp.asarray(np.stack(rows))[None]  # (1, L, D)
+class TextConditioner:
+    """Prompt -> (1, L, D) CLIP text-encoder context for UNet cross-attn.
+
+    `for_context_dim` picks the CLIP tower whose width matches the UNet's
+    context_dim (768 = the SD 1.x / InstructPix2Pix CLIP ViT-L/14 text
+    tower; other dims get a width-matched small tower for tests). Converted
+    checkpoints install via `params=convert_clip_text(...)` +
+    `tokenizer_path=<ckpt dir>`.
+    """
+
+    def __init__(self, cfg: CLIPTextConfig, params=None, tokenizer=None,
+                 tokenizer_path: str | None = None, seed: int = 0):
+        self.cfg = cfg
+        self.model = CLIPTextEncoder(cfg)
+        self.params = params
+        self.tokenizer = tokenizer or load_tokenizer(tokenizer_path, cfg.vocab_size)
+        self._seed = seed
+        self._jit_apply = jax.jit(
+            lambda p, ids: self.model.apply({"params": p}, ids)["last_hidden"]
+        )
+        self._cache: dict[str, jnp.ndarray] = {}
+
+    @staticmethod
+    def for_context_dim(dim: int, max_len: int = 77, **kw) -> "TextConditioner":
+        if dim == 768:
+            return TextConditioner(CLIPTextConfig.sd15(), **kw)
+        if dim == 1024:
+            return TextConditioner(CLIPTextConfig.sd2(), **kw)
+        heads = 2 if dim % 2 == 0 else 1
+        return TextConditioner(
+            CLIPTextConfig(vocab_size=4096, width=dim, depth=2, num_heads=heads,
+                           max_len=min(max_len, 16), eos_token_id=4095),
+            **kw,
+        )
+
+    def _ensure(self):
+        if self.params is None:
+            warn_once(
+                "clip_text_random",
+                "text conditioning runs a random-initialized CLIP text "
+                "encoder (no converted weights installed) — diffusion "
+                "outputs are not prompt-faithful",
+            )
+            ids = jnp.zeros((1, self.cfg.max_len), jnp.int32)
+            self.params = self.model.init(jax.random.PRNGKey(self._seed), ids)["params"]
+        if getattr(self.tokenizer, "is_fallback", False):
+            warn_once(
+                "clip_tokenizer_fallback",
+                "no CLIP vocab files installed; prompts tokenize via a "
+                "deterministic hash fallback",
+            )
+
+    def embed(self, prompt: str) -> jnp.ndarray:
+        self._ensure()
+        if prompt not in self._cache:
+            ids = jnp.asarray([self.tokenizer(prompt, self.cfg.max_len)], jnp.int32)
+            self._cache[prompt] = self._jit_apply(self.params, ids)
+        return self._cache[prompt]
 
 
 @dataclasses.dataclass
@@ -45,6 +110,9 @@ class _Base:
         self.unet = UNet2D(self.unet_cfg)
         self.vae = AutoencoderKL(self.vae_cfg, seed=self.seed)
         self.params = None
+        self.text = TextConditioner.for_context_dim(
+            self.unet_cfg.context_dim, seed=self.seed
+        )
 
     @property
     def latent_factor(self) -> int:
@@ -102,7 +170,7 @@ class InvSREnhance(_Base):
         key = jax.random.PRNGKey(self.seed)
         lat = self.vae.encode(x)
         noised = add_noise(lat, jax.random.normal(key, lat.shape), self.cfg.start_timestep)
-        ctx = _text_tokens("", self.unet_cfg.context_dim)
+        ctx = self.text.embed("")
         eps = cfg_eps(self._eps_model(), ctx, ctx, 1.0)
         out_lat = ddim_sample(eps, noised, self.cfg)
         out = self.vae.decode(out_lat)
@@ -147,8 +215,8 @@ class AmodalCompletion(_Base):
         nch = self.unet_cfg.in_channels // 2
         key = jax.random.PRNGKey(self.seed)
         noise = jax.random.normal(key, img_lat.shape[:-1] + (nch,))
-        ctx = _text_tokens(label, self.unet_cfg.context_dim)
-        unctx = _text_tokens("", self.unet_cfg.context_dim)
+        ctx = self.text.embed(label)
+        unctx = self.text.embed("")
         eps = dual_cfg_eps(
             self._eps_model(), ctx, unctx, img_lat, jnp.zeros_like(img_lat),
             self.cfg.guidance_scale, self.cfg.image_guidance_scale,
@@ -161,12 +229,26 @@ class AmodalCompletion(_Base):
         return rgba
 
 
+class _CCProjection(nn.Module):
+    """Zero123's cc_projection: [CLIP image embed, 4-dof camera] -> one
+    cross-attention context token (`zero123.py` CCProjection)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, image_embed: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.concatenate([image_embed, cam], axis=-1)
+        return nn.Dense(self.out_dim, name="proj")(x)[:, None, :]
+
+
 class Zero123NovelView(_Base):
     """Image + relative-camera conditioned novel views (Zero123-equivalent).
 
     Parity (`src/util.py:78-107`): called with 4 (d_elev, d_azim) deltas
-    of +-10 deg for elevation estimation. Conditioning = image-encoder
-    tokens + a camera token [d_elev, sin(d_azim), cos(d_azim), d_dist].
+    of +-10 deg for elevation estimation. Conditioning matches zero123:
+    CLIP-vision image embedding concatenated with the camera vector
+    [d_elev, sin(d_azim), cos(d_azim), d_dist] through cc_projection into
+    one context token (`external/dreamgaussian/zero123.py` CCProjection).
     """
 
     def __init__(self, steps: int = 20, guidance: float = 3.0,
@@ -176,20 +258,38 @@ class Zero123NovelView(_Base):
         super().__init__(ucfg, VAEConfig.tiny_test() if tiny else VAEConfig(),
                          image_size, seed)
         self.cfg = DDIMConfig(steps=steps, guidance_scale=guidance)
-        enc_cfg = ViTConfig.tiny_test() if tiny else ViTConfig.base(patch_size=16)
-        self.image_encoder = ViT(enc_cfg)
+        self.vision_cfg = (
+            CLIPVisionConfig.tiny_test() if tiny else CLIPVisionConfig.vitl14()
+        )
+        self.image_encoder = CLIPVisionEncoder(self.vision_cfg)
+        self.cc_projection = _CCProjection(self.unet_cfg.context_dim)
         self._enc_params = None
+        self._cc_params = None
 
     def init_params(self):
         super().init_params()
+        warn_once(
+            "zero123_random",
+            "Zero123 novel views run with random-initialized weights (no "
+            "converted checkpoint) — elevation estimates derived from them "
+            "are not meaningful",
+        )
         k = jax.random.PRNGKey(self.seed + 1)
-        img = jnp.zeros((1, self.image_size, self.image_size, 3))
+        s = self.vision_cfg.image_size
+        img = jnp.zeros((1, s, s, 3))
         self._enc_params = self.image_encoder.init(k, img)["params"]
+        emb_dim = self.vision_cfg.projection_dim or self.vision_cfg.width
+        self._cc_params = self.cc_projection.init(
+            jax.random.PRNGKey(self.seed + 2),
+            jnp.zeros((1, emb_dim)), jnp.zeros((1, 4)),
+        )["params"]
         return self.params
 
     def generate(self, rgba: np.ndarray, d_elev: float, d_azim: float,
                  d_dist: float = 0.0, seed: int = 0) -> np.ndarray:
         from PIL import Image
+
+        from labelany3d_tpu.models.clip import preprocess_clip_image
 
         if self.params is None or self._enc_params is None:
             self.init_params()
@@ -201,17 +301,18 @@ class Zero123NovelView(_Base):
         proc = np.asarray(Image.fromarray(rgb).resize((self.image_size,) * 2))
         x = jnp.asarray(proc, jnp.float32)[None] / 127.5 - 1.0
 
-        tokens = self.image_encoder.apply({"params": self._enc_params}, x)["tokens"]
-        ctx_dim = self.unet_cfg.context_dim
-        tokens = tokens[..., :ctx_dim] if tokens.shape[-1] >= ctx_dim else jnp.pad(
-            tokens, ((0, 0), (0, 0), (0, ctx_dim - tokens.shape[-1]))
+        clip_in = preprocess_clip_image(
+            proc.astype(np.float32) / 255.0, self.vision_cfg.image_size
         )
+        enc = self.image_encoder.apply(
+            {"params": self._enc_params}, jnp.asarray(clip_in)[None]
+        )
+        image_embed = enc.get("image_embeds", enc["pooled"]).astype(jnp.float32)
         cam = jnp.asarray(
-            [np.deg2rad(d_elev), np.sin(np.deg2rad(d_azim)), np.cos(np.deg2rad(d_azim)), d_dist],
+            [[np.deg2rad(d_elev), np.sin(np.deg2rad(d_azim)), np.cos(np.deg2rad(d_azim)), d_dist]],
             jnp.float32,
         )
-        cam_tok = jnp.pad(cam, (0, ctx_dim - 4))[None, None, :]
-        ctx = jnp.concatenate([cam_tok, tokens], axis=1)
+        ctx = self.cc_projection.apply({"params": self._cc_params}, image_embed, cam)
 
         img_lat = self.vae.encode(x)
         nch = self.unet_cfg.in_channels // 2

@@ -124,6 +124,16 @@ class JaxDepthBackend:
                 self.depth_pro = DepthProModel(self.dp_cfg)
 
     def _ensure_params(self, h: int, w: int):
+        if self._params_moge is None or self._params_dp is None:
+            from labelany3d_tpu.utils.logging import warn_once
+
+            if self._params_moge is None and self._params_dp is None:
+                warn_once(
+                    "depth_random",
+                    "depth backend runs with random-initialized weights "
+                    "(no converted MoGe/DepthPro checkpoint) — depth maps "
+                    "and intrinsics are not meaningful; see docs/WEIGHTS.md",
+                )
         if self._params_moge is None:
             self._pin_pos_grids(h, w)
             k = jax.random.PRNGKey(self._seed)
@@ -223,6 +233,14 @@ class JaxMatcherBackend:
 
     def _ensure(self, h: int, w: int):
         if self.params is None:
+            from labelany3d_tpu.utils.logging import warn_once
+
+            warn_once(
+                "matcher_random",
+                "matcher backend runs with random-initialized descriptors "
+                "(no converted MASt3R checkpoint) — registration poses will "
+                "report ok=False; see docs/WEIGHTS.md",
+            )
             self.params = self.model.init(
                 jax.random.PRNGKey(self._seed),
                 jnp.zeros((1, h, w, 3)), jnp.zeros((1, h, w, 3)),

@@ -79,6 +79,7 @@ DEFAULT_CONFIG: dict = {
         "enhance": "bicubic",           # 'invsr' | 'bicubic'
         "elevation": "zero",            # 'zero123' | 'zero'
         "segmentation": "coconut",      # 'coconut' | 'entityv2' (wild mode)
+        "wild_segmentation": "color",   # 'color' | 'sam'/'entityv2' (learned)
         "wild_foreground": "border",    # 'border' | 'clipseg' (wild mode)
         "wild_tagger": "constant",      # 'constant' | 'clip' (wild mode)
         "depth": "moge+depthpro",
@@ -106,6 +107,7 @@ DEFAULT_CONFIG: dict = {
         "tiny": False,                  # tiny model configs (CPU dry runs)
         "clipseg_path": None,           # local CIDAS/clipseg-rd64-refined snapshot
         "clip_path": None,              # local CLIP snapshot (wild tagger)
+        "sam_path": None,               # local SAM .pth (wild segmenter)
     },
 }
 

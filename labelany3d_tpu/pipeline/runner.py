@@ -77,8 +77,10 @@ def main(argv=None) -> int:
         provider = WildInstanceProvider(make_wild_source(
             foreground=str(cfg_node.run.wild_foreground),
             tagger=str(cfg_node.run.wild_tagger),
+            segmentation=str(cfg_node.run.wild_segmentation),
             clipseg_path=cfg_node.models.clipseg_path,
             clip_path=cfg_node.models.clip_path,
+            sam_path=cfg_node.models.sam_path,
         ))
     else:
         images_root, annotations_dir = get_dataset_paths(args.split, args.dataset_root)

@@ -61,6 +61,13 @@ class ZeroElevation:
     """Reference's elevation-failure fallback (src/util.py:104-106)."""
 
     def estimate(self, crop_rgba: np.ndarray) -> float:
+        from labelany3d_tpu.utils.logging import warn_once
+
+        warn_once(
+            "elevation_zero",
+            "elevation backend is the 0-degree fallback (no Zero123 "
+            "weights) — per-object camera elevation is not estimated",
+        )
         return 0.0
 
 

@@ -67,3 +67,39 @@ def test_wild_source_empty_image():
                              BorderPriorForeground(), ConstantTagger())
     inst = src.read_instances(img)
     assert len(inst) == 0
+
+
+def test_sam_segmentation_wild_source():
+    """The learned SAM segmenter slots into the wild stack (tiny config,
+    random weights: machinery + protocol contract, not mask quality)."""
+    import numpy as np
+
+    from labelany3d_tpu.data.wild import (
+        BorderPriorForeground,
+        ConstantTagger,
+        SamSegmentation,
+        WildInstanceSource,
+    )
+    from labelany3d_tpu.models.sam import SamConfig
+
+    seg = SamSegmentation(cfg=SamConfig.tiny_test(), points_per_side=4,
+                          pred_iou_thresh=-1e9, min_area_frac=0.0)
+    src = WildInstanceSource(seg, BorderPriorForeground(), ConstantTagger(),
+                             overlap_threshold=-1.0)  # keep all (random fg)
+    rng = np.random.default_rng(0)
+    image = (rng.uniform(size=(48, 64, 3)) * 255).astype(np.uint8)
+    inst = src.read_instances(image)
+    assert inst.masks.shape[1:] == (48, 64)
+    assert len(inst.labels) == len(inst.masks) == len(inst.bboxes)
+    assert all(label == "object" for label in inst.labels)
+
+
+def test_make_wild_source_sam_selector():
+    from labelany3d_tpu.data.wild import SamSegmentation, make_wild_source
+
+    src = make_wild_source(segmentation="entityv2")
+    assert isinstance(src.segmentation, SamSegmentation)
+    import pytest
+
+    with pytest.raises(ValueError, match="wild_segmentation"):
+        make_wild_source(segmentation="nope")
