@@ -270,7 +270,7 @@ def bench_e2e_fast() -> dict:
     from labelany3d_tpu.models.moge import MoGeConfig
 
     n_images = 8
-    size = 518
+    size = 512  # the DEFAULT_CONFIG production bucket (and /4-divisible)
     scene = FakeScene(width=size, height=size, fx=500.0, fy=500.0)
     img, depth, masks, _ = scene.make(
         [{"z": 4.0, "rect": (80, 90, 230, 260)}, {"z": 6.0, "rect": (280, 120, 460, 380)}]

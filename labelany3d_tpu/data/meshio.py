@@ -5,9 +5,15 @@ transforms, surface sampling, PLY export — e.g. `src/batch_scripts/
 whole.py:96-124`, `src/util_3dbox.py:256-270`). trimesh is not in this
 image, so this module implements the needed subset natively:
 
-  * GLB read: POSITION + indices (+ COLOR_0 when present) from the first
-    primitive of every mesh, node transforms applied;
-  * GLB write: one triangle mesh with optional vertex colors;
+  * GLB read: POSITION + indices (+ COLOR_0 / TEXCOORD_0 + baseColor
+    texture when present) from every mesh primitive, node transforms
+    applied; textured meshes also get vertex colors sampled from the
+    texture so UV-unaware consumers (the registration renderer) keep
+    working;
+  * GLB write: one triangle mesh with optional vertex colors and an
+    optional UV-mapped PNG texture (TEXCOORD_0 + pbrMetallicRoughness
+    baseColorTexture — parity with TRELLIS `to_glb`'s textured output,
+    `postprocessing_utils.py:399-444`);
   * PLY write: point clouds / triangle meshes (binary little-endian);
   * area-weighted surface sampling (trimesh.sample equivalent) as jnp.
 
@@ -39,6 +45,8 @@ class Mesh:
     vertices: np.ndarray                       # (V, 3) float32
     faces: np.ndarray                          # (F, 3) int32
     colors: np.ndarray | None = None           # (V, 3|4) uint8 or float
+    uv: np.ndarray | None = None               # (V, 2) float32 in [0, 1]
+    texture: np.ndarray | None = None          # (H, W, 3) uint8 RGB atlas
     metadata: dict = field(default_factory=dict)
 
     def apply_transform(self, matrix: np.ndarray) -> "Mesh":
@@ -149,12 +157,35 @@ def load_glb(path) -> Mesh:
     if gltf is None:
         raise ValueError("GLB missing JSON chunk")
 
+    def _material_texture(prim) -> np.ndarray | None:
+        """Decode the primitive material's baseColor PNG/JPEG, if any."""
+        mat_idx = prim.get("material")
+        if mat_idx is None:
+            return None
+        pbr = gltf.get("materials", [])[mat_idx].get("pbrMetallicRoughness", {})
+        tex_info = pbr.get("baseColorTexture")
+        if tex_info is None:
+            return None
+        tex = gltf.get("textures", [])[tex_info["index"]]
+        img = gltf.get("images", [])[tex["source"]]
+        if "bufferView" not in img:
+            return None
+        view = gltf["bufferViews"][img["bufferView"]]
+        start = view.get("byteOffset", 0)
+        data = binary[start : start + view["byteLength"]]
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
     # Walk the default scene's node tree, accumulating transforms.
-    all_v, all_f, all_c = [], [], []
+    all_v, all_f, all_c, all_uv = [], [], [], []
+    texture = None
     vcount = 0
 
     def visit(node_idx: int, parent: np.ndarray):
-        nonlocal vcount
+        nonlocal vcount, texture
         node = gltf["nodes"][node_idx]
         m = parent @ _node_matrix(node)
         if "mesh" in node:
@@ -171,9 +202,15 @@ def load_glb(path) -> Mesh:
                 colors = None
                 if "COLOR_0" in prim["attributes"]:
                     colors = _read_accessor(gltf, binary, prim["attributes"]["COLOR_0"])
+                uv = None
+                if "TEXCOORD_0" in prim["attributes"]:
+                    uv = _read_accessor(gltf, binary, prim["attributes"]["TEXCOORD_0"])
+                    if texture is None:
+                        texture = _material_texture(prim)
                 all_v.append(pos.astype(np.float32))
                 all_f.append(idx.astype(np.int64) + vcount)
                 all_c.append(colors)
+                all_uv.append(uv)
                 vcount += len(pos)
         for child in node.get("children", []):
             visit(child, m)
@@ -188,15 +225,28 @@ def load_glb(path) -> Mesh:
     colors = None
     if all(c is not None for c in all_c) and all_c:
         colors = np.concatenate(all_c, axis=0)
+    uv = None
+    if all(u is not None for u in all_uv) and all_uv:
+        uv = np.concatenate(all_uv, axis=0).astype(np.float32)
+    if colors is None and uv is not None and texture is not None:
+        # Sample vertex colors from the texture so UV-unaware consumers
+        # (the registration renderer's vertex shading) keep appearance.
+        th, tw = texture.shape[:2]
+        ui = np.clip((uv[:, 0] % 1.0) * (tw - 1), 0, tw - 1).astype(np.int64)
+        vi = np.clip((uv[:, 1] % 1.0) * (th - 1), 0, th - 1).astype(np.int64)
+        colors = texture[vi, ui].astype(np.float32) / 255.0
     return Mesh(
         vertices=np.concatenate(all_v, axis=0),
         faces=np.concatenate(all_f, axis=0).astype(np.int32),
         colors=colors,
+        uv=uv,
+        texture=texture,
     )
 
 
 def save_glb(path, mesh: Mesh) -> None:
-    """Write one triangle mesh as a GLB (positions, indices, opt. colors)."""
+    """Write one triangle mesh as a GLB (positions, indices, optional
+    vertex colors, optional TEXCOORD_0 + embedded PNG baseColor texture)."""
     v = np.ascontiguousarray(mesh.vertices, np.float32)
     f = np.ascontiguousarray(mesh.faces, np.uint32).reshape(-1, 3)
     buffers = [v.tobytes(), f.tobytes()]
@@ -222,8 +272,51 @@ def save_glb(path, mesh: Mesh) -> None:
         off = sum(len(b) for b in buffers)
         buffers.append(c.tobytes())
         views.append({"buffer": 0, "byteOffset": off, "byteLength": len(buffers[-1]), "target": 34962})
-        accessors.append({"bufferView": 2, "componentType": 5126, "count": len(c), "type": ctype})
-        attributes["COLOR_0"] = 2
+        accessors.append({"bufferView": len(views) - 1, "componentType": 5126, "count": len(c), "type": ctype})
+        attributes["COLOR_0"] = len(accessors) - 1
+
+    gltf_extra: dict = {}
+    primitive: dict = {"attributes": attributes, "indices": 1, "mode": 4}
+    if mesh.uv is not None and mesh.texture is not None:
+        import io
+
+        from PIL import Image
+
+        uv = np.ascontiguousarray(mesh.uv, np.float32).reshape(-1, 2)
+        assert len(uv) == len(v), "uv must be per-vertex"
+        off = sum(len(b) for b in buffers)
+        buffers.append(uv.tobytes())
+        views.append({"buffer": 0, "byteOffset": off,
+                      "byteLength": len(buffers[-1]), "target": 34962})
+        accessors.append({"bufferView": len(views) - 1, "componentType": 5126,
+                          "count": len(uv), "type": "VEC2"})
+        attributes["TEXCOORD_0"] = len(accessors) - 1
+
+        png = io.BytesIO()
+        Image.fromarray(np.asarray(mesh.texture, np.uint8)).save(png, format="PNG")
+        png_bytes = png.getvalue()
+        off = sum(len(b) for b in buffers)
+        pad = (-off) % 4  # image bufferView must be 4-aligned
+        if pad:
+            buffers.append(b"\x00" * pad)
+            off += pad
+        buffers.append(png_bytes)
+        views.append({"buffer": 0, "byteOffset": off, "byteLength": len(png_bytes)})
+        gltf_extra = {
+            "images": [{"bufferView": len(views) - 1, "mimeType": "image/png"}],
+            "samplers": [{"magFilter": 9729, "minFilter": 9729,
+                          "wrapS": 10497, "wrapT": 10497}],
+            "textures": [{"sampler": 0, "source": 0}],
+            "materials": [{
+                "pbrMetallicRoughness": {
+                    "baseColorTexture": {"index": 0, "texCoord": 0},
+                    "metallicFactor": 0.0,
+                    "roughnessFactor": 1.0,
+                },
+                "doubleSided": True,
+            }],
+        }
+        primitive["material"] = 0
 
     bin_blob = b"".join(buffers)
     pad_bin = (-len(bin_blob)) % 4
@@ -234,10 +327,11 @@ def save_glb(path, mesh: Mesh) -> None:
         "scene": 0,
         "scenes": [{"nodes": [0]}],
         "nodes": [{"mesh": 0}],
-        "meshes": [{"primitives": [{"attributes": attributes, "indices": 1, "mode": 4}]}],
+        "meshes": [{"primitives": [primitive]}],
         "buffers": [{"byteLength": len(bin_blob)}],
         "bufferViews": views,
         "accessors": accessors,
+        **gltf_extra,
     }
     js = json.dumps(gltf).encode()
     js += b" " * ((-len(js)) % 4)

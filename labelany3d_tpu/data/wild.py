@@ -303,6 +303,7 @@ def make_wild_source(
     clipseg_path: str | None = None,
     clip_path: str | None = None,
     sam_path: str | None = None,
+    segformer_path: str | None = None,
 ) -> WildInstanceSource:
     """Config-driven wild stack (CLI keys run.wild_segmentation /
     run.wild_foreground / run.wild_tagger; model paths under models.*)."""
@@ -330,9 +331,27 @@ def make_wild_source(
         if clipseg_path is None:
             raise ValueError("run.wild_foreground=clipseg needs models.clipseg_path")
         fg = ClipSegForeground(model_path=clipseg_path)
+    elif foreground in ("semantic", "oneformer"):  # the reference's
+        # ADE20K thing/stuff filter role, served by the SegFormer graph.
+        from labelany3d_tpu.models.segformer import (
+            SegFormerConfig,
+            SegformerForeground,
+            convert_segformer,
+        )
+
+        params = id2label = None
+        if segformer_path is not None:
+            import torch
+
+            state = torch.load(segformer_path, map_location="cpu",
+                               weights_only=True)
+            params = convert_segformer(
+                {k: v.numpy() for k, v in state.items()}, SegFormerConfig.b0()
+            )
+        fg = SegformerForeground(params=params, id2label=id2label)
     else:
         raise ValueError(f"Unknown run.wild_foreground: {foreground!r} "
-                         "(expected 'border' or 'clipseg')")
+                         "(expected 'border', 'clipseg' or 'semantic')")
     if tagger == "constant":
         tg = ConstantTagger()
     elif tagger == "clip":

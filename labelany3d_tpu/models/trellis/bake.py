@@ -1,14 +1,22 @@
-"""Render-based vertex-color baking from 3D Gaussians.
+"""Render-based texture + vertex-color baking from 3D Gaussians.
 
 Parity target: TRELLIS's `to_glb` texture bake
 (`trellis/utils/postprocessing_utils.py:399-444` in the reference tree):
-the mesh's appearance comes from ~100 Gaussian-splat renders projected back
-onto the surface (there via xatlas UV + nvdiffrast; here via per-vertex
-projection with splat-depth visibility — UV-free, which the registration
-renderer consumes directly as vertex colors).
+the mesh's appearance comes from multi-view Gaussian-splat renders
+projected back onto the surface. Two bake modes:
 
-One jitted program per view: splat render (`ops.splat`) + vertex projection
-+ visibility-weighted accumulation.
+  * `bake_texture`: the reference's textured-GLB scheme — UV
+    parameterization (`uv_unwrap_box`, the xatlas role: box-projection
+    charts packed into one atlas), UV-space rasterization of the mesh
+    (`ops.rasterize` with identity camera over the atlas) to get per-texel
+    3D positions, then splat-render visibility-weighted color accumulation
+    per texel, seam dilation, and a PNG atlas in the GLB (TEXCOORD_0 +
+    baseColorTexture).
+  * `bake_vertex_colors`: UV-free per-vertex projection (what the
+    registration renderer consumes directly).
+
+One jitted program per view: splat render (`ops.splat`) + projection +
+visibility-weighted accumulation.
 """
 
 from __future__ import annotations
@@ -95,3 +103,187 @@ def bake_vertex_colors(
     if seen.any() and (~seen).any():
         colors[~seen] = colors[seen].mean(axis=0)
     return np.clip(colors, 0.0, 1.0)
+
+
+def uv_unwrap_box(mesh: Mesh) -> Mesh:
+    """Box-projection UV atlas (the xatlas charting role).
+
+    Each face joins one of six charts by dominant normal axis (+-x, +-y,
+    +-z); chart faces project orthographically onto the two remaining
+    axes; the six charts pack into a 3x2 atlas grid with margins. Vertices
+    are split per face corner (UV seams), so the returned mesh has V = 3F
+    vertices with per-vertex `uv` in [0, 1]. Deterministic and watertight-
+    safe; quality is standard box-unwrap (the reference's xatlas does
+    optimized charting — same role, `postprocessing_utils.py:399-444`).
+    """
+    v = np.asarray(mesh.vertices, np.float32)
+    f = np.asarray(mesh.faces, np.int64)
+    if len(f) == 0:
+        return Mesh(v.copy(), mesh.faces.copy(), uv=np.zeros((len(v), 2), np.float32))
+    tri = v[f]  # (F, 3, 3)
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    axis = np.abs(n).argmax(axis=1)                      # 0|1|2
+    sign = (np.take_along_axis(n, axis[:, None], 1)[:, 0] >= 0).astype(np.int64)
+    chart = axis * 2 + sign                              # 0..5
+    # Projection planes per axis: drop the dominant coordinate.
+    plane = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
+
+    new_v = tri.reshape(-1, 3)
+    new_f = np.arange(len(new_v), dtype=np.int32).reshape(-1, 3)
+    uv = np.zeros((len(new_v), 2), np.float32)
+
+    cols, rows = 3, 2
+    margin = 0.01
+    cell_w, cell_h = 1.0 / cols, 1.0 / rows
+    for c in range(6):
+        sel = chart == c
+        if not sel.any():
+            continue
+        a, b = plane[c // 2]
+        pts = tri[sel][:, :, (a, b)].reshape(-1, 2)      # (3*Fc, 2)
+        lo = pts.min(axis=0)
+        span = np.maximum(pts.max(axis=0) - lo, 1e-9)
+        local = (pts - lo) / span.max()                  # isotropic [0,1]
+        cx, cy = c % cols, c // cols
+        origin = np.array([cx * cell_w + margin, cy * cell_h + margin])
+        scale = np.array([cell_w - 2 * margin, cell_h - 2 * margin])
+        target = np.zeros((len(new_v),), bool)
+        target[np.repeat(sel, 3)] = True
+        uv[target] = origin + local * scale.min()
+    colors = None
+    if mesh.colors is not None:
+        colors = np.asarray(mesh.colors)[f].reshape(-1, mesh.colors.shape[-1])
+    return Mesh(new_v.astype(np.float32), new_f, colors=colors, uv=uv)
+
+
+def _texel_positions(mesh: Mesh, texture_size: int):
+    """Rasterize the mesh in UV space: per-texel (position, valid)."""
+    from labelany3d_tpu.ops.rasterize import rasterize_mesh
+
+    uv = jnp.asarray(mesh.uv, jnp.float32)
+    # UV -> "camera" space: x = u * T, y = v * T, z = 1 with K = I.
+    verts_cam = jnp.stack(
+        [uv[:, 0] * texture_size, uv[:, 1] * texture_size,
+         jnp.ones((uv.shape[0],), jnp.float32)], axis=-1
+    )
+    K = jnp.eye(3, dtype=jnp.float32)
+    out = rasterize_mesh(verts_cam, jnp.asarray(mesh.faces, jnp.int32), K,
+                         (texture_size, texture_size))
+    valid = out.face_id >= 0
+    fid = jnp.maximum(out.face_id, 0)
+    tri = jnp.asarray(mesh.vertices, jnp.float32)[jnp.asarray(mesh.faces, jnp.int32)[fid]]
+    pos = jnp.einsum("hwk,hwkc->hwc", out.bary, tri)
+    return pos, valid
+
+
+def bake_texture(
+    mesh: Mesh,
+    gaussians: GaussianSet,
+    texture_size: int = 512,
+    num_views: int = 16,
+    image_size: int = 256,
+    radius: float = 2.0,
+    depth_tolerance: float = 0.08,
+) -> Mesh:
+    """UV-unwrap `mesh` and bake a (T, T, 3) uint8 texture atlas from
+    multi-view splat renders; also fills vertex colors by sampling the
+    atlas. Returns the unwrapped mesh (split vertices) with uv+texture.
+    """
+    mesh = uv_unwrap_box(mesh)
+    if mesh.is_empty:
+        mesh.texture = np.full((texture_size, texture_size, 3), 127, np.uint8)
+        return mesh
+
+    ok = np.asarray(gaussians.valid) & (np.asarray(gaussians.opacities) > 0.01)
+    if not ok.any():
+        mesh.texture = np.full((texture_size, texture_size, 3), 127, np.uint8)
+        mesh.colors = np.full((len(mesh.vertices), 3), 0.5, np.float32)
+        return mesh
+    means = jnp.asarray(np.asarray(gaussians.means)[ok])
+    scales = jnp.asarray(np.asarray(gaussians.scales)[ok])
+    rots = jnp.asarray(np.asarray(gaussians.rotations)[ok])
+    opac = jnp.asarray(np.asarray(gaussians.opacities)[ok])
+    cols = jnp.asarray(np.asarray(gaussians.colors)[ok])
+
+    pos, tvalid = _texel_positions(mesh, texture_size)
+    pts = pos.reshape(-1, 3)
+    K = jnp.asarray(
+        [[image_size * 1.2, 0, image_size / 2],
+         [0, image_size * 1.2, image_size / 2],
+         [0, 0, 1]], jnp.float32,
+    )
+    center = jnp.mean(jnp.asarray(mesh.vertices, jnp.float32), axis=0)
+
+    @jax.jit
+    def one_view(R, t, acc_color, acc_weight):
+        out = rasterize_gaussians(
+            means, scales, rots, opac, cols, R, t, K,
+            (image_size, image_size), gaussians_per_tile=128,
+        )
+        alpha = jnp.maximum(out.alpha, 1e-6)
+        rgb = out.rgb / alpha[..., None]
+        depth = out.depth / alpha
+
+        cam = pts @ R.T + t
+        z = cam[:, 2]
+        u = K[0, 0] * cam[:, 0] / jnp.maximum(z, 1e-6) + K[0, 2]
+        v = K[1, 1] * cam[:, 1] / jnp.maximum(z, 1e-6) + K[1, 2]
+        ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, image_size - 1)
+        vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, image_size - 1)
+        seen_rgb = rgb[vi, ui]
+        seen_a = out.alpha[vi, ui]
+        seen_d = depth[vi, ui]
+        inside = (u >= 0) & (u < image_size) & (v >= 0) & (v < image_size) & (z > 0)
+        visible = inside & (jnp.abs(seen_d - z) < depth_tolerance) & (seen_a > 0.3)
+        w = visible.astype(jnp.float32) * seen_a
+        return acc_color + seen_rgb * w[:, None], acc_weight + w
+
+    acc_c = jnp.zeros((pts.shape[0], 3), jnp.float32)
+    acc_w = jnp.zeros((pts.shape[0],), jnp.float32)
+    for i in range(num_views):
+        azim = 360.0 * i / num_views
+        elev = (-20.0, 0.0, 20.0)[i % 3]
+        R, t = opencv_orbit_pose(elev, azim, radius, target=np.asarray(center))
+        acc_c, acc_w = one_view(jnp.asarray(R), jnp.asarray(t), acc_c, acc_w)
+
+    acc_c = np.asarray(acc_c).reshape(texture_size, texture_size, 3)
+    acc_w = np.asarray(acc_w).reshape(texture_size, texture_size)
+    tvalid = np.asarray(tvalid)
+    seen = (acc_w > 1e-4) & tvalid
+    tex = np.full((texture_size, texture_size, 3), 0.5, np.float32)
+    if seen.any():
+        tex[seen] = acc_c[seen] / acc_w[seen, None]
+        # In-chart holes (occluded texels) take the chart mean; then seam
+        # dilation pads colors past chart borders against bilinear bleed.
+        holes = tvalid & ~seen
+        if holes.any():
+            tex[holes] = tex[seen].mean(axis=0)
+    tex = _dilate_texture(tex, tvalid, iterations=4)
+    mesh.texture = (np.clip(tex, 0.0, 1.0) * 255).astype(np.uint8)
+
+    th = tw = texture_size
+    uvs = np.asarray(mesh.uv)
+    ui = np.clip(uvs[:, 0] * (tw - 1), 0, tw - 1).astype(np.int64)
+    vi = np.clip(uvs[:, 1] * (th - 1), 0, th - 1).astype(np.int64)
+    mesh.colors = mesh.texture[vi, ui].astype(np.float32) / 255.0
+    return mesh
+
+
+def _dilate_texture(tex: np.ndarray, valid: np.ndarray, iterations: int) -> np.ndarray:
+    """Grow chart colors into invalid texels (seam padding)."""
+    tex = tex.copy()
+    valid = valid.copy()
+    for _ in range(iterations):
+        if valid.all():
+            break
+        grown = np.zeros_like(tex)
+        count = np.zeros(valid.shape, np.float32)
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            shifted_v = np.roll(valid, (dy, dx), axis=(0, 1))
+            shifted_t = np.roll(tex, (dy, dx), axis=(0, 1))
+            grown += shifted_t * shifted_v[..., None]
+            count += shifted_v
+        newly = (~valid) & (count > 0)
+        tex[newly] = grown[newly] / count[newly, None]
+        valid = valid | newly
+    return tex

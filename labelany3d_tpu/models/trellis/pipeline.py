@@ -202,13 +202,15 @@ class TrellisPipeline:
         )
         return fn(self.params["gs"], self.params["mesh"], slat, coords, valid)
 
-    def to_glb_mesh(self, gs, sdf, bake: str = "render") -> Mesh:
+    def to_glb_mesh(self, gs, sdf, bake: str = "texture",
+                    texture_size: int = 256) -> Mesh:
         """Surface extraction + color bake from the Gaussians.
 
         Role parity with `postprocessing_utils.to_glb` (:399-444).
-        bake='render' projects multi-view splat renders onto the surface
-        (the reference's scheme, UV-free); bake='knn' is the cheap
-        nearest-gaussian transfer.
+        bake='texture' is the reference's textured-GLB scheme (UV atlas +
+        multi-view splat bake -> TEXCOORD_0 + baseColorTexture in the GLB);
+        bake='render' projects multi-view splat renders onto vertices only
+        (UV-free); bake='knn' is the cheap nearest-gaussian transfer.
         """
         from labelany3d_tpu.ops.marching_cubes import marching_cubes_mesh
 
@@ -218,7 +220,11 @@ class TrellisPipeline:
         mesh = Mesh(vertices=verts_obj.astype(np.float32), faces=faces)
         ok = np.asarray(gs.valid) & (np.asarray(gs.opacities) > 0.01)
         if ok.any() and len(verts_obj):
-            if bake == "render":
+            if bake == "texture":
+                from labelany3d_tpu.models.trellis.bake import bake_texture
+
+                mesh = bake_texture(mesh, gs, texture_size=texture_size)
+            elif bake == "render":
                 from labelany3d_tpu.models.trellis.bake import bake_vertex_colors
 
                 mesh.colors = bake_vertex_colors(mesh, gs)

@@ -108,6 +108,7 @@ DEFAULT_CONFIG: dict = {
         "clipseg_path": None,           # local CIDAS/clipseg-rd64-refined snapshot
         "clip_path": None,              # local CLIP snapshot (wild tagger)
         "sam_path": None,               # local SAM .pth (wild segmenter)
+        "segformer_path": None,         # local ADE20K SegFormer .pth (filter)
     },
 }
 

@@ -81,6 +81,7 @@ def main(argv=None) -> int:
             clipseg_path=cfg_node.models.clipseg_path,
             clip_path=cfg_node.models.clip_path,
             sam_path=cfg_node.models.sam_path,
+            segformer_path=cfg_node.models.segformer_path,
         ))
     else:
         images_root, annotations_dir = get_dataset_paths(args.split, args.dataset_root)
