@@ -310,14 +310,26 @@ def register_default_backends() -> None:
 
     def make_reconstruction(backend: str = "silhouette", **kw):
         """'silhouette' (deterministic) | 'trellis' (sparse generative
-        stack) | 'hunyuan3d' (multi-view diffusion + space carving — the
-        reference's alternate obj_rec)."""
+        stack) | 'hunyuan3d' (multi-view diffusion + SVRM neural
+        reconstructor — the reference's alternate obj_rec,
+        `views_to_mesh.py:41-70`) | 'hunyuan3d_carve' (multi-view
+        diffusion + deterministic visual-hull carving)."""
         if backend == "trellis":
             from labelany3d_tpu.models.trellis import TrellisPipeline, TrellisPipelineConfig
 
             cfg = TrellisPipelineConfig.tiny_test() if kw.get("tiny") else None
             return TrellisPipeline(cfg)
         if backend == "hunyuan3d":
+            from labelany3d_tpu.models.diffusion import Zero123NovelView
+            from labelany3d_tpu.models.svrm import SVRMConfig, SVRMReconstruction
+
+            tiny = bool(kw.get("tiny"))
+            nv = Zero123NovelView(tiny=tiny, image_size=64 if tiny else 256)
+            return SVRMReconstruction(
+                novel_views=nv,
+                cfg=SVRMConfig.tiny_test() if tiny else SVRMConfig(),
+            )
+        if backend == "hunyuan3d_carve":
             from labelany3d_tpu.models.diffusion import Zero123NovelView
             from labelany3d_tpu.models.spacecarve import SpaceCarveReconstruction
 
@@ -327,7 +339,7 @@ def register_default_backends() -> None:
         if backend != "silhouette":
             raise ValueError(
                 f"Unknown obj_rec backend '{backend}' "
-                "(choose trellis | hunyuan3d | silhouette)"
+                "(choose trellis | hunyuan3d | hunyuan3d_carve | silhouette)"
             )
         return SilhouetteExtrude()
 

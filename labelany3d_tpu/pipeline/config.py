@@ -75,7 +75,8 @@ DEFAULT_CONFIG: dict = {
         # installed the deterministic baselines are the sane defaults —
         # flip these via config/CLI once weights exist.
         "amodal_completion": None,      # 'our' | None
-        "obj_rec": "silhouette",        # 'trellis' | 'hunyuan3d' | 'silhouette'
+        "obj_rec": "silhouette",        # 'trellis' | 'hunyuan3d' (SVRM) |
+                                        # 'hunyuan3d_carve' | 'silhouette'
         "enhance": "bicubic",           # 'invsr' | 'bicubic'
         "elevation": "zero",            # 'zero123' | 'zero'
         "segmentation": "coconut",      # 'coconut' | 'entityv2' (wild mode)
