@@ -96,7 +96,53 @@ def test_trajectory_video(tmp_path):
 
     from labelany3d_tpu.utils.trajectory import render_trajectory_video
 
-    out = render_trajectory_video(sd, str(tmp_path / "traj.mp4"), num_frames=4, image_size=96)
+    out = render_trajectory_video(sd, str(tmp_path / "traj.mp4"),
+                                  frames_per_segment=2, image_size=96)
     import os
 
     assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_bbox_json_to_mesh_thick_edges():
+    """Thick-edge parity (convert_bbox_json_to_ply :58-91): 12 prisms per
+    box, 8 verts / 12 tris each, reference palette colors, adaptive
+    thickness from the median box size."""
+    from labelany3d_tpu.utils.trajectory import (
+        adaptive_thickness,
+        bbox_json_to_mesh,
+    )
+
+    corners = np.array(
+        [[-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+         [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]], np.float64
+    )
+    boxes = [{"bbox3D_cam": corners.tolist()},
+             {"bbox3D_cam": (corners * 0.5 + 3).tolist()}]
+    mesh = bbox_json_to_mesh(boxes)
+    assert len(mesh.vertices) == 2 * 12 * 8
+    assert len(mesh.faces) == 2 * 12 * 12
+    assert mesh.colors.shape == (len(mesh.vertices), 3)
+    # distinct palette colors per box
+    c0 = mesh.colors[: 12 * 8]
+    c1 = mesh.colors[12 * 8 :]
+    assert not np.allclose(c0[0], c1[0])
+    # thickness = median(mean dims) * ratio; boxes have mean dims 2 and 1
+    t = adaptive_thickness(boxes, ratio=0.04)
+    assert abs(t - 1.5 * 0.04) < 1e-6
+    # prism girth matches the thickness
+    bar = mesh.vertices[:8]
+    widths = bar.max(axis=0) - bar.min(axis=0)
+    assert abs(sorted(widths)[0] - t) < 1e-4
+
+
+def test_trajectory_raycast():
+    from labelany3d_tpu.data.meshio import Mesh
+    from labelany3d_tpu.utils.trajectory import _raycast
+
+    # unit quad at z=2 facing the origin
+    v = np.array([[-1, -1, 2], [1, -1, 2], [1, 1, 2], [-1, 1, 2]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    hit = _raycast(np.zeros(3), np.array([0.0, 0.0, 1.0]), Mesh(v, f))
+    np.testing.assert_allclose(hit, [0, 0, 2], atol=1e-6)
+    # miss -> None
+    assert _raycast(np.zeros(3), np.array([0.0, 0.0, -1.0]), Mesh(v, f)) is None
