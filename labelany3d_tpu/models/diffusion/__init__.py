@@ -24,6 +24,11 @@ from labelany3d_tpu.models.diffusion.sampler import (
     add_noise,
     make_alphas,
 )
+from labelany3d_tpu.models.diffusion.noise_predictor import (
+    NoisePredictor,
+    NoisePredictorConfig,
+    convert_noise_predictor,
+)
 from labelany3d_tpu.models.diffusion.pipelines import (
     InvSREnhance,
     AmodalCompletion,
@@ -34,4 +39,5 @@ __all__ = [
     "UNetConfig", "UNet2D", "VAEConfig", "Encoder", "Decoder",
     "AutoencoderKL", "DDIMConfig", "ddim_sample", "add_noise", "make_alphas",
     "InvSREnhance", "AmodalCompletion", "Zero123NovelView",
+    "NoisePredictor", "NoisePredictorConfig", "convert_noise_predictor",
 ]

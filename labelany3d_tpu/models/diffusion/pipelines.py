@@ -145,7 +145,8 @@ class InvSREnhance(_Base):
     """
 
     def __init__(self, factor: int = 4, start_timestep: int = 250, steps: int = 5,
-                 image_size: int = 256, tiny: bool = False, seed: int = 0):
+                 image_size: int = 256, tiny: bool = False, seed: int = 0,
+                 noise_predictor=None, noise_predictor_params=None):
         super().__init__(
             UNetConfig.tiny_test() if tiny else UNetConfig(),
             VAEConfig.tiny_test() if tiny else VAEConfig(),
@@ -153,6 +154,23 @@ class InvSREnhance(_Base):
         )
         self.factor = factor
         self.cfg = DDIMConfig(steps=steps, guidance_scale=1.0, start_timestep=start_timestep)
+        # InvSR's learned inversion noise (`noise_predictor_sd_turbo_v5.pth`
+        # role, pipeline_stable_diffusion_inversion_sr.py:1051-1061): when
+        # installed, the starting noise comes from the predictor's posterior
+        # instead of a Gaussian draw. Pass noise_predictor=NoisePredictor(...)
+        # + converted params, or noise_predictor=True for the default graph.
+        if noise_predictor is True:
+            from labelany3d_tpu.models.diffusion.noise_predictor import (
+                NoisePredictor,
+                NoisePredictorConfig,
+            )
+
+            noise_predictor = NoisePredictor(
+                NoisePredictorConfig.tiny_test() if tiny
+                else NoisePredictorConfig.sd_turbo()
+            )
+        self.noise_predictor = noise_predictor
+        self._np_params = noise_predictor_params
 
     def enhance(self, image: np.ndarray) -> np.ndarray:
         from PIL import Image
@@ -169,7 +187,29 @@ class InvSREnhance(_Base):
         x = jnp.asarray(proc, jnp.float32)[None] / 127.5 - 1.0
         key = jax.random.PRNGKey(self.seed)
         lat = self.vae.encode(x)
-        noised = add_noise(lat, jax.random.normal(key, lat.shape), self.cfg.start_timestep)
+        if self.noise_predictor is not None:
+            if self._np_params is None:
+                warn_once(
+                    "invsr_noise_predictor_random",
+                    "InvSR noise predictor runs random-initialized (no "
+                    "converted noise_predictor_sd_turbo checkpoint)",
+                )
+                self._np_params = self.noise_predictor.init(
+                    jax.random.PRNGKey(self.seed + 3),
+                    jnp.zeros((1, self.image_size, self.image_size, 3)),
+                    jnp.zeros((1,)),
+                )["params"]
+            img01 = (x + 1.0) / 2.0
+            t = jnp.full((1,), float(self.cfg.start_timestep))
+            noise = self.noise_predictor.apply(
+                {"params": self._np_params}, img01, t, key,
+                method=type(self.noise_predictor).sample,
+            )
+            if noise.shape != lat.shape:  # latent grid mismatch: resize
+                noise = jax.image.resize(noise, lat.shape, method="bilinear")
+        else:
+            noise = jax.random.normal(key, lat.shape)
+        noised = add_noise(lat, noise, self.cfg.start_timestep)
         ctx = self.text.embed("")
         eps = cfg_eps(self._eps_model(), ctx, ctx, 1.0)
         out_lat = ddim_sample(eps, noised, self.cfg)
