@@ -165,7 +165,7 @@ def bench_depth_models() -> dict:
     rng = np.random.default_rng(0)
 
     # MoGe ViT-L/14 at the production 518^2 bucket; batch 8 is the
-    # measured throughput sweet spot (b4 40.0, b8 45.5, b16 43.9 img/s).
+    # measured throughput sweet spot (flash-attn path: 57.6 img/s at b8).
     bm, sm = 8, 518
     moge = MoGeModel(MoGeConfig.vitl())
     imgs_m = jnp.asarray(rng.uniform(size=(bm, sm, sm, 3)).astype(np.float32))

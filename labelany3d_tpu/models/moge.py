@@ -218,16 +218,25 @@ class MoGeCheckpointHead(nn.Module):
                 x = ResidualConvBlock(out_ch, out_ch, cfg.dtype, name=f"up{i}_res{r}")(x)
 
         b, hh, ww, c = x.shape
-        x = jax.image.resize(
-            x.astype(jnp.float32), (b, img_h, img_w, c), method="bilinear"
-        ).astype(x.dtype)
+        # bf16 configs resize in bf16: the full-res feature tensor is the
+        # head's biggest HBM term and bilinear needs no f32 accumulator
+        # (4-tap convex blend); f32 configs (parity tests) are unchanged.
+        x = jax.image.resize(x, (b, img_h, img_w, c), method="bilinear")
         x = _cat_uv(x, aspect)
 
         dim_out = [3, 1] if (cfg.output_mask and cfg.split_head) else \
             [4] if cfg.output_mask else [3]
+        # Shared replicate-pad hoisted out of the per-head loop: both output
+        # heads convolve the same full-res tensor, and materializing the
+        # padded copy twice doubles the head's largest HBM read.
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
         outs = []
         for j, d in enumerate(dim_out):
-            h = _conv3_replicate(x, cfg.last_conv_channels, f"out{j}_conv_in", cfg.dtype)
+            h = nn.Conv(
+                cfg.last_conv_channels, (3, 3), padding="VALID",
+                dtype=cfg.dtype, param_dtype=jnp.float32,
+                name=f"out{j}_conv_in",
+            )(xp)
             for r in range(cfg.last_res_blocks):
                 h = ResidualConvBlock(
                     cfg.last_conv_channels, cfg.last_conv_channels, cfg.dtype,

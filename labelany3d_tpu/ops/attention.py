@@ -28,6 +28,78 @@ def _sdpa(q, k, v, mask=None):
     return jax.nn.dot_product_attention(q, k, v, mask=mask)
 
 
+def _flash_block_q(n_pad: int) -> int:
+    """Largest n_pad divisor <= 768 among n_pad / 2^k (q blocks need not be
+    128-aligned; measured optimum for ViT-L/518 (n_pad=1408) is 704)."""
+    bq = n_pad
+    while bq > 768 and bq % 2 == 0:
+        bq //= 2
+    return bq
+
+
+def flash_sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    segment_ids: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Fused self-attention, (B, S, H, D) layout like `jax.nn.dot_product_attention`.
+
+    On TPU this runs the Pallas flash kernel with the full K/V block
+    resident in VMEM, so the (S, S) score tensor never touches HBM —
+    XLA's stock attention materializes it twice (softmax + scores@V),
+    which profiling shows is ~55% of a ViT-L encoder's wall-clock at
+    518^2 (HBM-bound). Sequences are padded to a lane multiple and the
+    pad masked via segment ids. Non-TPU backends (tests, the virtual CPU
+    mesh) fall back to the XLA path — bitwise parity there, ~1e-3 bf16
+    difference on TPU.
+
+    segment_ids: optional (B, S) int32, 0 = real token, nonzero = pad;
+    callers that pre-pad their sequence to a 128 multiple (e.g. the ViT
+    encoder) pass it to skip the per-call pad/unpad round-trip.
+    """
+    if jax.default_backend() != "tpu":
+        if segment_ids is not None:
+            mask = (segment_ids == 0)[:, None, None, :]  # (B, 1, 1, S) keys
+            return jax.nn.dot_product_attention(q, k, v, mask=mask)
+        return jax.nn.dot_product_attention(q, k, v)
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, n, h, d = q.shape
+    n_pad = -(-n // 128) * 128
+    bq = _flash_block_q(n_pad)
+    pad = n_pad - n
+
+    def prep(t):
+        if pad:
+            t = jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return t.transpose(0, 2, 1, 3)  # BSHD -> BHSD
+
+    ids = segment_ids
+    if pad:
+        tail = jnp.ones((b, pad), jnp.int32)
+        ids = jnp.concatenate(
+            [jnp.zeros((b, n), jnp.int32) if ids is None else ids, tail], 1
+        )
+    seg = None if ids is None else SegmentIds(ids, ids)
+    bs = BlockSizes(
+        block_q=bq, block_k_major=n_pad, block_k=n_pad, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=n_pad,
+        block_q_dkv=bq, block_k_dkv=n_pad,
+        block_q_dq=bq, block_k_dq=n_pad, block_k_major_dq=n_pad,
+    )
+    out = flash_attention(
+        prep(q), prep(k), prep(v), segment_ids=seg, causal=False,
+        sm_scale=1.0 / float(d) ** 0.5, block_sizes=bs,
+    )
+    out = out.transpose(0, 2, 1, 3)
+    return out[:, :n] if pad else out
+
+
 def serialized_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
