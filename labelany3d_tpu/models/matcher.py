@@ -106,7 +106,11 @@ class CrossBlock(nn.Module):
         qh, kh, vh = heads(q), heads(k), heads(v)
         qh = apply_rope_2d(qh, *q_pos_cs).astype(cfg.dtype)
         kh = apply_rope_2d(kh, *kv_pos_cs).astype(cfg.dtype)
-        out = jax.nn.dot_product_attention(qh, kh, vh)
+        # VMEM-resident flash kernel on TPU (self- and cross-attention both
+        # run 1024-token views at 512^2); XLA sdpa elsewhere.
+        from labelany3d_tpu.ops.attention import flash_sdpa
+
+        out = flash_sdpa(qh, kh, vh)
         out = out.reshape(q_tokens.shape[:-1] + (cfg.dec_width,))
         return nn.Dense(cfg.dec_width, dtype=cfg.dtype, name=f"{name}_proj")(out)
 

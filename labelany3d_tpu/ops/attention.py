@@ -70,34 +70,44 @@ def flash_sdpa(
     )
 
     b, n, h, d = q.shape
+    nk = k.shape[1]
     n_pad = -(-n // 128) * 128
+    nk_pad = -(-nk // 128) * 128
     bq = _flash_block_q(n_pad)
-    pad = n_pad - n
+    pad_q, pad_k = n_pad - n, nk_pad - nk
 
-    def prep(t):
+    def prep(t, pad):
         if pad:
             t = jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
         return t.transpose(0, 2, 1, 3)  # BSHD -> BHSD
 
-    ids = segment_ids
-    if pad:
+    def pad_ids(ids, length, pad):
+        if not pad:
+            return ids
         tail = jnp.ones((b, pad), jnp.int32)
-        ids = jnp.concatenate(
-            [jnp.zeros((b, n), jnp.int32) if ids is None else ids, tail], 1
+        head = jnp.zeros((b, length), jnp.int32) if ids is None else ids
+        return jnp.concatenate([head, tail], 1)
+
+    q_ids = pad_ids(segment_ids, n, pad_q)
+    kv_ids = pad_ids(segment_ids if nk == n else None, nk, pad_k)
+    seg = None
+    if q_ids is not None or kv_ids is not None:
+        seg = SegmentIds(
+            jnp.zeros((b, n_pad), jnp.int32) if q_ids is None else q_ids,
+            jnp.zeros((b, nk_pad), jnp.int32) if kv_ids is None else kv_ids,
         )
-    seg = None if ids is None else SegmentIds(ids, ids)
     bs = BlockSizes(
-        block_q=bq, block_k_major=n_pad, block_k=n_pad, block_b=1,
-        block_q_major_dkv=bq, block_k_major_dkv=n_pad,
-        block_q_dkv=bq, block_k_dkv=n_pad,
-        block_q_dq=bq, block_k_dq=n_pad, block_k_major_dq=n_pad,
+        block_q=bq, block_k_major=nk_pad, block_k=nk_pad, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=nk_pad,
+        block_q_dkv=bq, block_k_dkv=nk_pad,
+        block_q_dq=bq, block_k_dq=nk_pad, block_k_major_dq=nk_pad,
     )
     out = flash_attention(
-        prep(q), prep(k), prep(v), segment_ids=seg, causal=False,
-        sm_scale=1.0 / float(d) ** 0.5, block_sizes=bs,
+        prep(q, pad_q), prep(k, pad_k), prep(v, pad_k), segment_ids=seg,
+        causal=False, sm_scale=1.0 / float(d) ** 0.5, block_sizes=bs,
     )
     out = out.transpose(0, 2, 1, 3)
-    return out[:, :n] if pad else out
+    return out[:, :n] if pad_q else out
 
 
 def serialized_attention(

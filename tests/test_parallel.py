@@ -106,5 +106,6 @@ def test_graft_entry_contract():
     spec.loader.exec_module(mod)
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
-    assert out.shape == (1, 224, 224, 3)
+    # entry() runs the production bucket: point map matches the image shape.
+    assert out.shape == args[1].shape and out.shape[-1] == 3
     mod.dryrun_multichip(8)
