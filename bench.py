@@ -385,6 +385,31 @@ def _bench_host_window(rel, metric, dmask, K, masks, rng) -> float:
     return HOST_TIMED_IMAGES / dt
 
 
+class _Alarm:
+    """Hard wall-clock bound on a sub-bench via SIGALRM: a wedged remote
+    compile service would otherwise hang the whole bench past the driver's
+    timeout and lose the record entirely."""
+
+    def __init__(self, seconds: float):
+        self.seconds = max(int(seconds), 1)
+
+    def __enter__(self):
+        import signal
+
+        def _raise(signum, frame):
+            raise TimeoutError(f"sub-bench exceeded {self.seconds}s")
+
+        self._prev = signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(self.seconds)
+
+    def __exit__(self, *exc):
+        import signal
+
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._prev)
+        return False
+
+
 def main():
     rng = np.random.default_rng(0)
     rel, metric, dmask, K, masks = make_batch(rng)
@@ -396,8 +421,13 @@ def main():
         return
 
     _enable_compile_cache()
-    tpu_ips = bench_tpu(rel, metric, dmask, K, masks)
     extra: dict = {}
+    tpu_ips = 0.0
+    try:
+        with _Alarm(EXTRA_BUDGET_S):
+            tpu_ips = bench_tpu(rel, metric, dmask, K, masks)
+    except Exception as e:  # value 0.0 + error beats a hung, lost record
+        extra["headline_error"] = f"{type(e).__name__}: {e}"[:200]
     for name, fn, min_left in (("depth", bench_depth_models, 240.0),
                                ("registration", bench_registration, 200.0),
                                ("e2e", bench_e2e_fast, 180.0)):
@@ -406,7 +436,8 @@ def main():
             extra[f"{name}_skipped"] = f"budget ({left:.0f}s left)"
             continue
         try:
-            extra.update(fn())
+            with _Alarm(left):
+                extra.update(fn())
         except Exception as e:  # a sub-bench failure must not kill the record
             extra[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
     print(

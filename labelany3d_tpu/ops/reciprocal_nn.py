@@ -26,8 +26,109 @@ class MatchResult(NamedTuple):
     score: jnp.ndarray   # (S,) dot similarity of the final pair
 
 
+def nn_argmax_tiled(
+    query: jnp.ndarray,
+    bank: jnp.ndarray,
+    block_s: int = 1024,
+    block_n: int = 1024,
+    precision: str = "bf16x3",
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pallas argmax-NN: per query row, the best bank row by dot similarity.
+
+    XLA fuses `argmax(query @ bank.T)` by recomputing the dot inside the
+    reduce — every score is a C-length VPU dot product and the MXU never
+    runs (profiled at ~120 ms per call for 4k x 262k x 24 on v5e).
+    This kernel tiles the score matrix through VMEM: MXU dot per
+    (block_s, block_n) tile, on-chip running max/argmax across bank tiles,
+    only (best, idx) per query ever touching HBM. Tie-breaking matches
+    `jnp.argmax` (first maximum).
+
+    precision: 'bf16x3' (default) splits each f32 operand into bf16
+    high+low parts and sums three MXU passes (hi@hi + hi@lo + lo@hi,
+    ~f32-accurate — Mosaic's f32 HIGHEST path measured 20x slower);
+    'bf16' is a single pass (fastest, may flip near-tie matches).
+    """
+    from jax.experimental import pallas as pl
+
+    s, c = query.shape
+    n, _ = bank.shape
+    sp = -(-s // block_s) * block_s
+    np_ = -(-n // block_n) * block_n
+    cp = -(-c // 128) * 128  # full-lane contraction: degenerate K stalls MXU
+    qp = jnp.pad(query, ((0, sp - s), (0, cp - c)))
+    bp = jnp.pad(bank, ((0, np_ - n), (0, cp - c)))
+    grid = (sp // block_s, np_ // block_n)
+
+    def kernel(q_ref, b_ref, best_ref, idx_ref):
+        i, j = pl.program_id(0), pl.program_id(1)
+        dims = (((1,), (1,)), ((), ()))
+
+        def dot(a, b):
+            return jax.lax.dot_general(a, b, dims,
+                                       preferred_element_type=jnp.float32)
+
+        qf, bf = q_ref[...], b_ref[...]
+        if precision == "bf16x3":
+            qh = qf.astype(jnp.bfloat16)
+            bh = bf.astype(jnp.bfloat16)
+            ql = (qf - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+            bl = (bf - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            sim = dot(qh, bh) + (dot(qh, bl) + dot(ql, bh))
+        elif precision == "bf16":
+            sim = dot(qf.astype(jnp.bfloat16), bf.astype(jnp.bfloat16))
+        else:  # 'f32': backend-default dot (exact in interpret mode)
+            sim = dot(qf, bf)
+        col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1) + j * block_n
+        sim = jnp.where(col < n, sim, -jnp.inf)
+        lmax_row = jnp.max(sim, axis=1)                      # (block_s,)
+        lidx_row = jnp.min(
+            jnp.where(sim == lmax_row[:, None], col, jnp.int32(2**30)), axis=1
+        )
+        lmax = lmax_row[None, :]
+        lidx = lidx_row[None, :]
+        row = pl.ds(i, 1)
+
+        @pl.when(j == 0)
+        def _first():
+            best_ref[row] = lmax
+            idx_ref[row] = lidx
+
+        @pl.when(j != 0)
+        def _update():
+            prev_best = best_ref[row]
+            prev_idx = idx_ref[row]
+            take = lmax > prev_best
+            best_ref[row] = jnp.where(take, lmax, prev_best)
+            idx_ref[row] = jnp.where(take, lidx, prev_idx)
+
+    # The (rows, block_s) result arrays are tiny; keep them fully VMEM
+    # resident (block = whole array) and row-address by program id.
+    rows = sp // block_s
+    best, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_s, cp), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_n, cp), lambda i, j: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, block_s), lambda i, j: (0, 0)),
+            pl.BlockSpec((rows, block_s), lambda i, j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, block_s), jnp.float32),
+            jax.ShapeDtypeStruct((rows, block_s), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qp, bp)
+    return idx.reshape(-1)[:s], best.reshape(-1)[:s]
+
+
 def _argmax_nn(query: jnp.ndarray, bank: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Nearest bank row per query row by dot similarity; (S,), (S,)."""
+    if jax.default_backend() == "tpu":
+        return nn_argmax_tiled(query, bank)
     sim = jnp.einsum(
         "sc,nc->sn", query, bank, precision=jax.lax.Precision.HIGHEST
     )

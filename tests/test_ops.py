@@ -316,3 +316,37 @@ def test_auction_tied_benefits(rng):
     out = np.asarray(auction_assignment(jnp.asarray(benefit), eps=1e-3))
     assert (out >= 0).all()
     assert len(set(out.tolist())) == 4  # still a valid injection
+
+
+def test_nn_argmax_tiled_matches_dense(rng):
+    """Pallas argmax-NN kernel (interpret mode) == dense argmax, including
+    tie-breaking (first max), odd sizes, and bank padding masking."""
+    from labelany3d_tpu.ops.reciprocal_nn import nn_argmax_tiled
+
+    q = rng.normal(size=(70, 24)).astype(np.float32)
+    b = rng.normal(size=(300, 24)).astype(np.float32)
+    b[37] = b[81]  # exact duplicate rows: ties must pick the first index
+    idx, best = nn_argmax_tiled(
+        jnp.asarray(q), jnp.asarray(b), block_s=32, block_n=128,
+        precision="f32", interpret=True,
+    )
+    sim = q @ b.T
+    np.testing.assert_array_equal(np.asarray(idx), sim.argmax(1))
+    np.testing.assert_allclose(np.asarray(best), sim.max(1), rtol=1e-6)
+
+
+def test_nn_argmax_tiled_bf16x3_accuracy(rng):
+    """bf16x3 decomposition stays ~f32-accurate on unit descriptors."""
+    from labelany3d_tpu.ops.reciprocal_nn import nn_argmax_tiled
+
+    q = rng.normal(size=(40, 24)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    b = rng.normal(size=(200, 24)).astype(np.float32)
+    b /= np.linalg.norm(b, axis=-1, keepdims=True)
+    idx, best = nn_argmax_tiled(
+        jnp.asarray(q), jnp.asarray(b), block_s=32, block_n=128,
+        interpret=True,
+    )
+    sim = q @ b.T
+    np.testing.assert_array_equal(np.asarray(idx), sim.argmax(1))
+    np.testing.assert_allclose(np.asarray(best), sim.max(1), atol=1e-5)
