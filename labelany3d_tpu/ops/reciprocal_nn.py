@@ -29,9 +29,9 @@ class MatchResult(NamedTuple):
 def nn_argmax_tiled(
     query: jnp.ndarray,
     bank: jnp.ndarray,
-    block_s: int = 1024,
-    block_n: int = 1024,
-    precision: str = "bf16x3",
+    block_s: int = 512,
+    block_n: int = 2048,
+    precision: str = "bf16",
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas argmax-NN: per query row, the best bank row by dot similarity.
@@ -44,10 +44,15 @@ def nn_argmax_tiled(
     only (best, idx) per query ever touching HBM. Tie-breaking matches
     `jnp.argmax` (first maximum).
 
-    precision: 'bf16x3' (default) splits each f32 operand into bf16
-    high+low parts and sums three MXU passes (hi@hi + hi@lo + lo@hi,
-    ~f32-accurate — Mosaic's f32 HIGHEST path measured 20x slower);
-    'bf16' is a single pass (fastest, may flip near-tie matches).
+    precision: 'bf16' (default) is a single bf16 MXU pass — the same
+    precision class as the reference's TF32 CUDA matmuls (A40), may flip
+    near-tie matches vs f32 (cycle-consistency filters those). 'bf16x3'
+    splits each f32 operand into bf16 high+low parts and evaluates
+    hi@hi + hi@lo + lo@hi (~f32-accurate) as ONE dot over the
+    concatenated contraction dim [qh|qh|ql] @ [bh|bl|bh]^T — three
+    separate in-kernel dots and Mosaic's f32 HIGHEST path both measured
+    ~1000x slower; the concat form is still several-x slower than bf16,
+    so it is opt-in.
     """
     from jax.experimental import pallas as pl
 
@@ -58,27 +63,28 @@ def nn_argmax_tiled(
     cp = -(-c // 128) * 128  # full-lane contraction: degenerate K stalls MXU
     qp = jnp.pad(query, ((0, sp - s), (0, cp - c)))
     bp = jnp.pad(bank, ((0, np_ - n), (0, cp - c)))
+    if precision == "bf16x3":
+        qh = qp.astype(jnp.bfloat16)
+        ql = (qp - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = bp.astype(jnp.bfloat16)
+        bl = (bp - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        qp = jnp.concatenate([qh, qh, ql], axis=1)
+        bp = jnp.concatenate([bh, bl, bh], axis=1)
+        cp *= 3
     grid = (sp // block_s, np_ // block_n)
 
     def kernel(q_ref, b_ref, best_ref, idx_ref):
         i, j = pl.program_id(0), pl.program_id(1)
-        dims = (((1,), (1,)), ((), ()))
-
-        def dot(a, b):
-            return jax.lax.dot_general(a, b, dims,
-                                       preferred_element_type=jnp.float32)
-
         qf, bf = q_ref[...], b_ref[...]
-        if precision == "bf16x3":
-            qh = qf.astype(jnp.bfloat16)
-            bh = bf.astype(jnp.bfloat16)
-            ql = (qf - qh.astype(jnp.float32)).astype(jnp.bfloat16)
-            bl = (bf - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-            sim = dot(qh, bh) + (dot(qh, bl) + dot(ql, bh))
-        elif precision == "bf16":
-            sim = dot(qf.astype(jnp.bfloat16), bf.astype(jnp.bfloat16))
-        else:  # 'f32': backend-default dot (exact in interpret mode)
-            sim = dot(qf, bf)
+        if precision == "bf16":
+            # Cast in-kernel: f32 HBM blocks, bf16 MXU operands (the
+            # measured-fast layout; pre-cast bf16 inputs ran slower).
+            qf = qf.astype(jnp.bfloat16)
+            bf = bf.astype(jnp.bfloat16)
+        sim = jax.lax.dot_general(
+            qf, bf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1) + j * block_n
         sim = jnp.where(col < n, sim, -jnp.inf)
         lmax_row = jnp.max(sim, axis=1)                      # (block_s,)

@@ -345,7 +345,7 @@ def test_nn_argmax_tiled_bf16x3_accuracy(rng):
     b /= np.linalg.norm(b, axis=-1, keepdims=True)
     idx, best = nn_argmax_tiled(
         jnp.asarray(q), jnp.asarray(b), block_s=32, block_n=128,
-        interpret=True,
+        precision="bf16x3", interpret=True,
     )
     sim = q @ b.T
     np.testing.assert_array_equal(np.asarray(idx), sim.argmax(1))
