@@ -428,6 +428,15 @@ def main():
             tpu_ips = bench_tpu(rel, metric, dmask, K, masks)
     except Exception as e:  # value 0.0 + error beats a hung, lost record
         extra["headline_error"] = f"{type(e).__name__}: {e}"[:200]
+        # Degraded-tunnel fallback: one short window still beats 0.0.
+        global TPU_WARMUP_ITERS, TPU_TIMED_ITERS
+        TPU_WARMUP_ITERS, TPU_TIMED_ITERS = 1, 5
+        try:
+            with _Alarm(240):
+                tpu_ips = bench_tpu(rel, metric, dmask, K, masks)
+            extra["headline_note"] = "short-window fallback (5 iters)"
+        except Exception as e2:
+            extra["headline_retry_error"] = f"{type(e2).__name__}: {e2}"[:200]
     for name, fn, min_left in (("depth", bench_depth_models, 240.0),
                                ("registration", bench_registration, 200.0),
                                ("e2e", bench_e2e_fast, 180.0)):
