@@ -43,7 +43,9 @@ TPU_TIMED_ITERS = 50
 HOST_TIMED_IMAGES = 3
 # Wall-clock budget for the extra (config 3-5) sub-benches: each starts
 # only if this much time remains, so the headline JSON line always lands.
-EXTRA_BUDGET_S = 560.0
+# 900s leaves the e2e shard (the last, compile-heaviest config) a real
+# window after headline+depth+registration (~400s warm).
+EXTRA_BUDGET_S = 900.0
 _T_START = time.perf_counter()
 
 
