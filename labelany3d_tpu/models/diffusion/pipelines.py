@@ -229,13 +229,27 @@ class AmodalCompletion(_Base):
 
     def __init__(self, steps: int = 50, text_scale: float = 8.5,
                  image_scale: float = 1.5, image_size: int = 256,
-                 tiny: bool = False, seed: int = 0):
+                 tiny: bool = False, seed: int = 0, segmenter=None):
         ucfg = UNetConfig.tiny_test() if tiny else UNetConfig()
         ucfg = dataclasses.replace(ucfg, in_channels=2 * ucfg.in_channels)
         super().__init__(ucfg, VAEConfig.tiny_test() if tiny else VAEConfig(),
                          image_size, seed)
         self.cfg = DDIMConfig(steps=steps, guidance_scale=text_scale,
                               image_guidance_scale=image_scale)
+        # `segment_completed` role (src/util.py:163-168): re-segment the
+        # completed crop with ISNet saliency for the amodal alpha. True
+        # builds the default RembgSegmenter; None keeps full-opaque alpha.
+        if segmenter is True:
+            from labelany3d_tpu.models.saliency import (
+                ISNetConfig,
+                RembgSegmenter,
+            )
+
+            segmenter = RembgSegmenter(
+                ISNetConfig.tiny_test() if tiny else ISNetConfig.general_use(),
+                input_size=64 if tiny else 1024,
+            )
+        self.segmenter = segmenter
 
     def complete(self, crop_rgba: np.ndarray, label: str) -> np.ndarray:
         from PIL import Image
@@ -265,6 +279,10 @@ class AmodalCompletion(_Base):
         out = self.vae.decode(out_lat)
         out = np.asarray((jnp.clip(out[0], -1, 1) + 1.0) * 127.5).astype(np.uint8)
         out = np.asarray(Image.fromarray(out).resize(img.shape[1::-1]))
+        if self.segmenter is not None and img.shape[-1] == 4:
+            from labelany3d_tpu.models.saliency import segment_completed
+
+            return segment_completed(out, img, self.segmenter)
         rgba = np.concatenate([out, np.full(out.shape[:2] + (1,), 255, np.uint8)], axis=-1)
         return rgba
 

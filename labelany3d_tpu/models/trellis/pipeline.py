@@ -119,17 +119,22 @@ class TrellisPipeline:
         return self.params
 
     # -- stages -----------------------------------------------------------
-    def preprocess(self, rgba: np.ndarray) -> jnp.ndarray:
+    def preprocess(self, rgba: np.ndarray, segmenter=None) -> jnp.ndarray:
         """Alpha-crop to the object bbox, pad square, resize to cond_size.
 
         Parity: `trellis_image_to_3d.py:85-119` (alpha-guided crop +
         518^2 resize; background to gray is implicit via alpha-mult here).
+        An alpha-less input goes through `segmenter.remove` when one is
+        passed (the reference's rembg u2net fallback, :103-105 — e.g.
+        `models/saliency.py::RembgSegmenter`).
         """
         from PIL import Image
 
         img = np.asarray(rgba)
         if img.dtype != np.uint8:
             img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        if img.shape[-1] != 4 and segmenter is not None:
+            img = segmenter.remove(img)
         if img.shape[-1] == 4:
             alpha = img[..., 3] > 127
             rgb = img[..., :3] * (alpha[..., None])

@@ -356,7 +356,11 @@ def register_default_backends() -> None:
             from labelany3d_tpu.models.diffusion import AmodalCompletion
 
             tiny = bool(kw.get("tiny"))
-            return AmodalCompletion(tiny=tiny, image_size=64 if tiny else 256)
+            # segment='isnet' re-segments the completed crop for the amodal
+            # alpha (reference segment_completed, util.py:163-168).
+            seg = kw.get("segment") in ("isnet", True)
+            return AmodalCompletion(tiny=tiny, image_size=64 if tiny else 256,
+                                    segmenter=True if seg else None)
         return PassthroughCompletion()
 
     def make_elevation(backend: str = "zero", **kw):
