@@ -102,7 +102,9 @@ class _Block(nn.Module):
             def heads(t):
                 return t.reshape(t.shape[:-1] + (self.heads, hd))
 
-            o = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+            from labelany3d_tpu.ops.attention import flash_sdpa
+
+            o = flash_sdpa(heads(q), heads(k), heads(v))
             return dense("o", self.dim)(o.reshape(q_in.shape[:-1] + (self.dim,)))
 
         ln = lambda n: nn.LayerNorm(  # noqa: E731

@@ -81,7 +81,11 @@ class _Attention(nn.Module):
 
         qh, kh, vh = heads(q), heads(k), heads(v)
         if sparse is None:
-            out = jax.nn.dot_product_attention(qh, kh, vh)
+            # dense path (sparse-structure flow, cross-attention to cond
+            # tokens): VMEM-resident flash kernel on TPU, XLA sdpa elsewhere.
+            from labelany3d_tpu.ops.attention import flash_sdpa
+
+            out = flash_sdpa(qh, kh, vh)
         else:
             # coords (B, N, 3) / valid (B, N): each batch element carries its
             # own slot layout; vmap maps attention over them jointly.
