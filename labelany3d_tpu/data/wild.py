@@ -348,6 +348,18 @@ def make_wild_source(
             params = convert_segformer(
                 {k: v.numpy() for k, v in state.items()}, SegFormerConfig.b0()
             )
+            # HF snapshots ship id2label in config.json next to the weights;
+            # fall back to the shipped ADE20K-150 mapping otherwise
+            # (SegformerForeground does that internally when id2label=None).
+            import json
+            import os
+
+            cfg_json = os.path.join(os.path.dirname(segformer_path), "config.json")
+            if os.path.isfile(cfg_json):
+                with open(cfg_json) as f:
+                    raw = json.load(f).get("id2label")
+                if raw:
+                    id2label = {int(k): v for k, v in raw.items()}
         fg = SegformerForeground(params=params, id2label=id2label)
     else:
         raise ValueError(f"Unknown run.wild_foreground: {foreground!r} "

@@ -119,6 +119,106 @@ def _noise_predictor(state, tiny):
     return convert_noise_predictor(state, cfg)
 
 
+def _svrm(state, tiny):
+    from labelany3d_tpu.models.svrm import SVRMConfig, convert_svrm
+
+    return convert_svrm(state, SVRMConfig.tiny_test() if tiny else SVRMConfig())
+
+
+def _zero123(state, tiny):
+    """Single-file path converts the UNet only; point `checkpoint` at the
+    diffusers snapshot DIRECTORY to convert all four components."""
+    from labelany3d_tpu.models.diffusion.convert import convert_zero123
+
+    if isinstance(state, dict) and "components" in state:
+        return convert_zero123(**state["components"])
+    return convert_zero123(unet_state=state)
+
+
+def _trellis_cond(state, tiny, cfg_json=None):
+    from labelany3d_tpu.models.convert_trellis import convert_trellis_cond
+    from labelany3d_tpu.models.vit import ViTConfig
+
+    if tiny:
+        return convert_trellis_cond(state, ViTConfig.tiny_test(pos_grid=(4, 4)))
+    name = (cfg_json or {}).get("image_cond_model", "dinov2_vitl14_reg")
+    return convert_trellis_cond(state, name=name)
+
+
+def _trellis_ss_flow(state, tiny, cfg_json=None):
+    from labelany3d_tpu.models.convert_trellis import (
+        convert_trellis_ss_flow,
+        ss_flow_config_from_json,
+    )
+    from labelany3d_tpu.models.trellis import SparseStructureConfig
+
+    if tiny:
+        cfg = SparseStructureConfig.tiny_test()
+    else:
+        cfg = (ss_flow_config_from_json(cfg_json) if cfg_json
+               else SparseStructureConfig())
+    return convert_trellis_ss_flow(state, cfg)
+
+
+def _trellis_ss_dec(state, tiny, cfg_json=None):
+    from labelany3d_tpu.models.convert_trellis import (
+        convert_trellis_ss_decoder,
+        ss_decoder_config_from_json,
+    )
+    from labelany3d_tpu.models.trellis import SSDecoderConfig
+
+    if tiny:
+        cfg = SSDecoderConfig.tiny_test()
+    else:
+        cfg = (ss_decoder_config_from_json(cfg_json) if cfg_json
+               else SSDecoderConfig())
+    return convert_trellis_ss_decoder(state, cfg)
+
+
+def _trellis_slat_flow(state, tiny, cfg_json=None):
+    from labelany3d_tpu.models.convert_trellis import (
+        convert_trellis_slat_flow,
+        slat_flow_config_from_json,
+    )
+    from labelany3d_tpu.models.trellis import SLatConfig
+
+    if tiny:
+        cfg = SLatConfig.tiny_test()
+    else:
+        cfg = slat_flow_config_from_json(cfg_json) if cfg_json else SLatConfig()
+    return convert_trellis_slat_flow(state, cfg)
+
+
+def _trellis_slat_gs(state, tiny, cfg_json=None):
+    from labelany3d_tpu.models.convert_trellis import (
+        convert_trellis_slat_gs,
+        slat_decoder_config_from_json,
+    )
+    from labelany3d_tpu.models.trellis import SLatDecoderConfig
+
+    if tiny:
+        cfg = SLatDecoderConfig.tiny_test()
+    else:
+        cfg = (slat_decoder_config_from_json(cfg_json) if cfg_json
+               else SLatDecoderConfig())
+    return convert_trellis_slat_gs(state, cfg)
+
+
+def _trellis_slat_mesh(state, tiny, cfg_json=None):
+    from labelany3d_tpu.models.convert_trellis import (
+        convert_trellis_slat_mesh,
+        slat_decoder_config_from_json,
+    )
+    from labelany3d_tpu.models.trellis import SLatDecoderConfig
+
+    if tiny:
+        cfg = SLatDecoderConfig.tiny_test()
+    else:
+        cfg = (slat_decoder_config_from_json(cfg_json) if cfg_json
+               else SLatDecoderConfig())
+    return convert_trellis_slat_mesh(state, cfg)
+
+
 # registry name -> converter(state, tiny) with the production config
 CONVERTERS = {
     "moge": _moge,
@@ -132,7 +232,36 @@ CONVERTERS = {
     "segformer": _segformer,
     "isnet": _isnet,
     "noise_predictor": _noise_predictor,
+    "trellis_cond": _trellis_cond,
+    "trellis_ss_flow": _trellis_ss_flow,
+    "trellis_ss_dec": _trellis_ss_dec,
+    "trellis_slat_flow": _trellis_slat_flow,
+    "trellis_slat_gs": _trellis_slat_gs,
+    "trellis_slat_mesh": _trellis_slat_mesh,
+    "svrm": _svrm,
+    "zero123": _zero123,
 }
+
+
+def _load_zero123_dir(root: str) -> dict:
+    """diffusers snapshot dir -> component state dicts for convert_zero123."""
+    import glob
+    import os
+
+    def find(sub):
+        for pat in ("*.safetensors", "*.bin", "*.pt"):
+            hits = sorted(glob.glob(os.path.join(root, sub, pat)))
+            if hits:
+                return _load_state(hits[0])
+        return None
+
+    comp = {
+        "unet_state": find("unet"),
+        "vae_state": find("vae"),
+        "vision_state": find("image_encoder"),
+        "cc_state": find("clip_camera_projection") or find("cc_projection"),
+    }
+    return {"components": comp}
 
 
 def main(argv=None) -> str:
@@ -147,12 +276,27 @@ def main(argv=None) -> str:
                     help="registry name (default: the model argument)")
     ap.add_argument("--tiny", action="store_true",
                     help="use the tiny test config (CI/self-test only)")
+    ap.add_argument("--config", default=None,
+                    help="HF model config json (TRELLIS models ship one "
+                    "next to each safetensors; passes exact hyperparameters)")
     args = ap.parse_args(argv)
 
     from labelany3d_tpu.models.checkpoints import save_params
 
     state = _load_state(args.checkpoint)
-    params = CONVERTERS[args.model](state, args.tiny)
+    fn = CONVERTERS[args.model]
+    import inspect
+
+    if "cfg_json" in inspect.signature(fn).parameters:
+        cfg_json = None
+        if args.config:
+            import json
+
+            with open(args.config) as f:
+                cfg_json = json.load(f)
+        params = fn(state, args.tiny, cfg_json=cfg_json)
+    else:
+        params = fn(state, args.tiny)
 
     import jax
 

@@ -162,3 +162,57 @@ def convert_sd_unet(state: dict, cfg) -> dict:
         if lvl > 0:
             p[f"up{lvl}_us"] = _conv(state, pre + "upsamplers.0.conv.")
     return p
+
+
+def convert_zero123(
+    unet_state: dict,
+    vae_state: dict | None = None,
+    vision_state: dict | None = None,
+    cc_state: dict | None = None,
+    unet_cfg=None,
+    vae_cfg=None,
+    vision_cfg=None,
+) -> dict:
+    """Assembled converter for `ashawkey/zero123-xl-diffusers`.
+
+    The released pipeline is diffusers-format with four weighted
+    components (`external/dreamgaussian/zero123.py:80-170`):
+      * `unet/` — UNet2DConditionModel with an 8-channel conv_in (4 noise
+        + 4 reference-image latent channels, concatenated like
+        `Zero123NovelView.generate`);
+      * `vae/` — AutoencoderKL;
+      * `image_encoder/` — CLIPVisionModelWithProjection (ViT-L/14);
+      * `clip_camera_projection/` (a.k.a. cc_projection) —
+        `CLIPCameraProjection.proj`: Linear(768 + 4 -> 768)
+        (`zero123.py:41-75`).
+
+    Pass each component's state dict (numpy); omitted components are left
+    out of the result. Returns {"unet", "vae", "vision", "cc"} Flax trees
+    for `Zero123NovelView.set_params`.
+    """
+    import dataclasses as _dc
+
+    from labelany3d_tpu.models.diffusion.unet import UNetConfig
+    from labelany3d_tpu.models.diffusion.vae import VAEConfig
+
+    out: dict = {}
+    if unet_state is not None:
+        if unet_cfg is None:
+            unet_cfg = _dc.replace(UNetConfig(), in_channels=8)
+        out["unet"] = convert_sd_unet(unet_state, unet_cfg)
+    if vae_state is not None:
+        out["vae"] = convert_sd_vae(vae_state, vae_cfg or VAEConfig())
+    if vision_state is not None:
+        from labelany3d_tpu.models.clip import CLIPVisionConfig, convert_clip_vision
+
+        out["vision"] = convert_clip_vision(
+            vision_state, vision_cfg or CLIPVisionConfig.vitl14())
+    if cc_state is not None:
+        key = "proj.weight" if "proj.weight" in cc_state else "cc_projection.weight"
+        import numpy as _np
+
+        out["cc"] = {"proj": {
+            "kernel": _np.ascontiguousarray(_np.asarray(cc_state[key]).T),
+            "bias": _np.asarray(cc_state[key[:-6] + "bias"]),
+        }}
+    return out

@@ -324,23 +324,45 @@ class Zero123NovelView(_Base):
         self._enc_params = None
         self._cc_params = None
 
+    def set_params(self, trees: dict):
+        """Install converted weights (`diffusion/convert.py::convert_zero123`).
+
+        Accepts any subset of {"unet", "vae", "vision", "cc"}; missing
+        components stay random-initialized (init_params warns about them).
+        """
+        if "unet" in trees:
+            self.params = trees["unet"]
+        if "vae" in trees:
+            self.vae.params = trees["vae"]
+        if "vision" in trees:
+            self._enc_params = trees["vision"]
+        if "cc" in trees:
+            self._cc_params = trees["cc"]
+        return self
+
     def init_params(self):
-        super().init_params()
-        warn_once(
-            "zero123_random",
-            "Zero123 novel views run with random-initialized weights (no "
-            "converted checkpoint) — elevation estimates derived from them "
-            "are not meaningful",
-        )
-        k = jax.random.PRNGKey(self.seed + 1)
-        s = self.vision_cfg.image_size
-        img = jnp.zeros((1, s, s, 3))
-        self._enc_params = self.image_encoder.init(k, img)["params"]
-        emb_dim = self.vision_cfg.projection_dim or self.vision_cfg.width
-        self._cc_params = self.cc_projection.init(
-            jax.random.PRNGKey(self.seed + 2),
-            jnp.zeros((1, emb_dim)), jnp.zeros((1, 4)),
-        )["params"]
+        if self.params is None:
+            super().init_params()
+            warn_once(
+                "zero123_random",
+                "Zero123 novel views run with random-initialized weights (no "
+                "converted checkpoint) — elevation estimates derived from "
+                "them are not meaningful; convert with "
+                "convert_zero123 + set_params",
+            )
+        elif self.vae.params is None:
+            self.vae.init_params(self.image_size)
+        if self._enc_params is None:
+            k = jax.random.PRNGKey(self.seed + 1)
+            s = self.vision_cfg.image_size
+            img = jnp.zeros((1, s, s, 3))
+            self._enc_params = self.image_encoder.init(k, img)["params"]
+        if self._cc_params is None:
+            emb_dim = self.vision_cfg.projection_dim or self.vision_cfg.width
+            self._cc_params = self.cc_projection.init(
+                jax.random.PRNGKey(self.seed + 2),
+                jnp.zeros((1, emb_dim)), jnp.zeros((1, 4)),
+            )["params"]
         return self.params
 
     def generate(self, rgba: np.ndarray, d_elev: float, d_azim: float,

@@ -261,22 +261,77 @@ def convert_segformer(state: dict, cfg: SegFormerConfig) -> dict:
 
 # ------------------------------------------------------- thing/stuff filter
 
-# ADE20K-150 "stuff" classes by name (the standard amorphous-region set),
-# adjusted exactly as the reference adjusts OneFormer's metadata
-# (`src/model_wrappers.py:91-119`): its `my_stuff` names are demoted from
-# thing to stuff and its `my_thing` names promoted. Name-keyed so the split
-# follows whatever id2label the installed checkpoint carries.
-ADE20K_STUFF_NAMES = frozenset({
-    "wall", "building", "sky", "floor", "tree", "ceiling", "road",
-    "grass", "sidewalk", "earth", "mountain", "water", "sea", "field",
-    "sand", "hill", "path", "runway", "dirt track", "land", "escalator",
-    "lake", "stage", "river", "bridge", "fountain", "swimming pool",
-    "waterfall", "pier", "crosswalk",
-    # reference my_stuff overrides (model_wrappers.py:92-104)
-    "window ", "door", "curtain", "mirror", "fence", "rail",
-    "column, pillar", "stairs", "screen door, screen",
-    "bannister, banister, balustrade, balusters, handrail", "step, stair",
-})
+# ADE20K-150 id2label as shipped in the HF SegFormer ADE checkpoints'
+# config.json (nvidia/segformer-*-finetuned-ade-512-512). Used as the
+# fallback when no config.json rides next to the installed .pth; public
+# constant table.
+ADE20K_ID2LABEL = {i: n for i, n in enumerate([
+    "wall", "building", "sky", "floor", "tree", "ceiling", "road", "bed ",
+    "windowpane", "grass", "cabinet", "sidewalk", "person", "earth", "door",
+    "table", "mountain", "plant", "curtain", "chair", "car", "water",
+    "painting", "sofa", "shelf", "house", "sea", "mirror", "rug", "field",
+    "armchair", "seat", "fence", "desk", "rock", "wardrobe", "lamp",
+    "bathtub", "railing", "cushion", "base", "box", "column", "signboard",
+    "chest of drawers", "counter", "sand", "sink", "skyscraper",
+    "fireplace", "refrigerator", "grandstand", "path", "stairs", "runway",
+    "case", "pool table", "pillow", "screen door", "stairway", "river",
+    "bridge", "bookcase", "blind", "coffee table", "toilet", "flower",
+    "book", "hill", "bench", "countertop", "stove", "palm",
+    "kitchen island", "computer", "swivel chair", "boat", "bar",
+    "arcade machine", "hovel", "bus", "towel", "light", "truck", "tower",
+    "chandelier", "awning", "streetlight", "booth", "television receiver",
+    "airplane", "dirt track", "apparel", "pole", "land", "bannister",
+    "escalator", "ottoman", "bottle", "buffet", "poster", "stage", "van",
+    "ship", "fountain", "conveyer belt", "canopy", "washer", "plaything",
+    "swimming pool", "stool", "barrel", "basket", "waterfall", "tent",
+    "bag", "minibike", "cradle", "oven", "ball", "food", "step", "tank",
+    "trade name", "microwave", "pot", "animal", "bicycle", "lake",
+    "dishwasher", "screen", "blanket", "sculpture", "hood", "sconce",
+    "vase", "traffic light", "tray", "ashcan", "fan", "pier", "crt screen",
+    "plate", "monitor", "bulletin board", "shower", "radiator", "glass",
+    "clock", "flag",
+])}
+
+
+def _norm_label(name: str) -> str:
+    """Normalize a class name across naming conventions (HF short names vs
+    detectron2's comma lists like 'column, pillar'): first comma segment,
+    stripped, lowercased."""
+    return name.split(",")[0].strip().lower()
+
+
+# ADE20K "stuff" classes (amorphous regions, detectron2 isthing=0) in
+# normalized short names, adjusted exactly as the reference adjusts
+# OneFormer's metadata (`src/model_wrappers.py:91-119`): its `my_stuff`
+# names demoted from thing to stuff, `my_thing` names promoted back.
+_BASE_STUFF = {
+    "wall", "building", "sky", "floor", "tree", "ceiling", "road", "grass",
+    "sidewalk", "earth", "mountain", "water", "sea", "field", "sand",
+    "hill", "path", "runway", "dirt track", "land", "lake", "river",
+    "stage", "waterfall", "swimming pool",
+}
+# my_stuff (model_wrappers.py:92-104), normalized: 'window ' matches both
+# HF 'windowpane' and detectron2 'window'; 'rail' matches 'railing';
+# 'column, pillar' -> 'column'; etc.
+_MY_STUFF = {
+    "window", "windowpane", "door", "curtain", "mirror", "fence", "rail",
+    "railing", "column", "stairs", "screen door", "bannister", "step",
+    "stairway", "escalator", "bridge", "fountain", "pier",
+}
+# my_thing promotions (model_wrappers.py:106-112).
+_MY_THING = {"plant", "tent", "crt screen", "cradle", "blanket"}
+
+ADE20K_STUFF_NAMES = frozenset((_BASE_STUFF | _MY_STUFF) - _MY_THING)
+
+
+def thing_ids_from_id2label(id2label: dict) -> "np.ndarray":
+    """Class indices whose (normalized) name is a thing under the
+    reference-adjusted ADE20K split."""
+    return np.array(
+        [int(i) for i, name in id2label.items()
+         if _norm_label(name) not in ADE20K_STUFF_NAMES],
+        np.int64,
+    )
 
 
 class SegformerForeground:
@@ -292,12 +347,20 @@ class SegformerForeground:
         self.input_size = input_size
         self._seed = seed
         self._jit = None
+        if id2label is None and self.cfg.num_labels == len(ADE20K_ID2LABEL):
+            id2label = ADE20K_ID2LABEL  # the shipped ADE20K-150 mapping
         if id2label is None:
             id2label = {i: f"class_{i}" for i in range(self.cfg.num_labels)}
-        self.thing_ids = np.array(
-            [i for i, name in id2label.items() if name not in ADE20K_STUFF_NAMES],
-            np.int64,
-        )
+        self.thing_ids = thing_ids_from_id2label(id2label)
+        if len(self.thing_ids) >= self.cfg.num_labels:
+            from labelany3d_tpu.utils.logging import warn_once
+
+            warn_once(
+                "segformer_all_things",
+                "thing/stuff filter covers every class (no stuff name "
+                "matched id2label) — foreground() degenerates to all-True; "
+                "check the checkpoint's id2label naming",
+            )
 
     def _ensure(self):
         if self.params is None:

@@ -1,34 +1,36 @@
-"""SVRM-style neural multi-view reconstructor (Flax): views -> triplane -> mesh.
+"""SVRM neural multi-view reconstructor (Flax): views -> triplane -> mesh.
 
-The reference's alternate (Hunyuan3D-1) reconstruction path runs an SVRM:
-multi-view images + cameras -> DINO encoder -> image-to-triplane
-transformer -> NeuS/EG3D-style triplane SDF+RGB field -> marching-cubes
-mesh with vertex colors (`external/Hunyuan3D-1/svrm/ldm/models/
-svrm.py:109-259`, `modules/translator/img_to_triplane.py:9-130`,
-`modules/rendering_neus/synthesizer.py:19-131`, driven by
-`views_to_mesh.py:41-70`). This module is the TPU-native equivalent,
-replacing visual-hull space carving for concave objects.
+Checkpoint-faithful to the reference's alternate (Hunyuan3D-1)
+reconstruction path (`external/Hunyuan3D-1/svrm/ldm/models/svrm.py:109-259`,
+config `svrm/configs/svrm.yaml`); `convert_svrm` maps the released
+`svrm.safetensors` one-to-one:
 
-Architecture parity (module-for-module roles):
-  * view encoder: DINOv2-style ViT (`models/vit.py`) with a camera
-    embedding added to every patch token (the reference's dinov2_mod
-    camera modulation role; cam vector = flattened 3x4 pose + 4 intrinsic
-    scalars + padding = 20 dims, `views_to_mesh.py`);
-  * img_to_triplane: learnable (3*S*S, D) plane tokens cross-attending to
-    the concatenated view tokens over `depth` blocks, then a linear
-    pixel-shuffle upsampler D -> C*(r^2) (the reference's default
-    non-conv upsampler, img_to_triplane.py:92-130);
-  * field: per-plane bilinear sampling (ops/sampling.grid_sample, the
-    NeuS grid_sample role), 3-plane concat -> small MLP -> (sdf, rgb)
-    with MipNeRF sigmoid clamping and spherical SDF bias
-    (synthesizer.py:19-131);
-  * extraction: dense SDF grid in the aabb -> marching tetrahedra
-    (ops/marching_cubes) -> vertex colors by point queries
-    (svrm.py:176-209 forward_grid/forward_points role).
+  * `img_encoder` — DINOv2 ViT-B/14 with AdaNorm camera modulation
+    (`encoders/dinov2/layers/block.py::BlockMod`, `attention.py::AdaNorm`:
+    every norm is a non-affine LN modulated by shift/scale from a shared
+    20-dim camera embedding MLP); output = [cls | patch] tokens per view;
+  * `img_to_triplane_decoder` — learned (3*64*64, 1024) plane tokens
+    through 16 LRM blocks (cross-attn to view tokens FIRST, then
+    self-attn, then GEGLU FF — `attention.py::BasicTransformerBlockLRM`),
+    final LN, then a linear 4x pixel-shuffle upsampler to (3, 256, 256,
+    120) triplanes (`translator/img_to_triplane.py:9-130`);
+  * `render.decoder` — EG3D OSGDecoder (`rendering_neus/synthesizer.py:
+    19-131`): per-plane bilinear sampling with box_warp 1.2, projections
+    (x,y)/(x,z)/(z,y), 3-plane concat -> Linear-ReLU-Linear -> (sdf, rgb)
+    with MipNeRF sigmoid clamping. The released net outputs *positive
+    inside* (the sphere bias is disabled in the shipped code), so the
+    surface is the zero level of -sdf.
+
+The driving layout matches `svrm/predictor.py`: 7 input views — six at
+elevation 0, azimuths 0..300 in 60-degree steps (the mvd_std order after
+`infer/views_to_mesh.py:60` reordering) plus the user's input view with a
+zeroed camera — resized to 504, ImageNet-normalized; cameras are the
+flattened 4x4 OpenGL c2w at distance 1.5 plus intrinsics
+[35/32, 35/32, 0.5, 0.5].
 
 TPU-first: the whole views->triplane->grid pipeline is one jitted
 program; grid queries batch over a static G^3 lattice (no chunked host
-loop); bf16 matmuls, f32 field head.
+loop); bf16 matmuls, f32 field head; flash SDPA attention.
 """
 
 from __future__ import annotations
@@ -42,99 +44,210 @@ import jax.numpy as jnp
 import numpy as np
 
 from labelany3d_tpu.data.meshio import Mesh
-from labelany3d_tpu.models.vit import ViT, ViTConfig
 from labelany3d_tpu.ops.sampling import grid_sample
+
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
 @dataclasses.dataclass(frozen=True)
 class SVRMConfig:
-    num_views: int = 6
-    image_size: int = 256
-    cam_dim: int = 20
-    encoder: ViTConfig = dataclasses.field(
-        default_factory=lambda: ViTConfig.base(patch_size=16)
-    )
-    plane_size: int = 32          # pos_emb_size (pre-upsample)
-    token_dim: int = 1024         # pos_emb_dim
-    depth: int = 16               # transformer blocks
+    num_views: int = 7            # 6 mvd_std orbit views + the input view
+    image_size: int = 504         # predictor.py input_view_transform
+    cam_dim: int = 20             # 4x4 c2w (16) + 4 intrinsics
+    # img_encoder: dinov2_vitb14 + AdaNorm camera modulation
+    enc_width: int = 768
+    enc_depth: int = 12
+    enc_heads: int = 12
+    enc_patch: int = 14
+    enc_pos_grid: int = 37        # native 518/14 grid; interpolated to fit
+    layerscale_init: float = 1.0  # dinov2 hub init_values
+    # img_to_triplane (svrm.yaml): pos_emb_size 64, dim 1024, depth 16
+    plane_size: int = 64
+    token_dim: int = 1024
+    depth: int = 16
     num_heads: int = 16
-    triplane_dim: int = 80
+    context_dim: int = 768
+    triplane_dim: int = 120
     upsample_ratio: int = 4
+    # render.decoder (OSGDecoder defaults)
     field_hidden: int = 64
     field_layers: int = 2
-    sdf_bias_radius: float = 0.5  # sphere bias (synthesizer.py sdf_bias)
-    aabb: float = 0.6             # reference aabb +-0.6 (svrm.py:174)
-    grid_size: int = 96
+    box_warp: float = 1.2
+    aabb: float = 0.6             # sampler bbox +-0.6
+    grid_size: int = 96           # reference mesh_size=384; 96 default for cost
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
     @staticmethod
     def tiny_test(**kw) -> "SVRMConfig":
         return SVRMConfig(
-            num_views=2, image_size=32,
-            encoder=ViTConfig.tiny_test(),
+            num_views=2, image_size=32, enc_width=32, enc_depth=2,
+            enc_heads=2, enc_patch=8, enc_pos_grid=4,
             plane_size=4, token_dim=32, depth=2, num_heads=2,
-            triplane_dim=8, upsample_ratio=2, field_hidden=16,
-            grid_size=24, **kw,
+            context_dim=32, triplane_dim=8, upsample_ratio=2,
+            field_hidden=16, grid_size=24, **kw,
         )
 
 
-class _Block(nn.Module):
-    """Self-attn + cross-attn(context) + FFN (BasicTransformerBlock role)."""
+class AdaNorm(nn.Module):
+    """Non-affine LN modulated by a conditioning vector
+    (`attention.py::AdaNorm`): SiLU -> Linear(dim -> 2*dim) -> shift,
+    scale; x * (1 + scale) + shift."""
 
     dim: int
-    heads: int
-    dtype: Any
-    param_dtype: Any
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c):
+        h = nn.silu(c.astype(jnp.float32))
+        mod = nn.Dense(2 * self.dim, param_dtype=self.param_dtype,
+                       dtype=jnp.float32, name="mod")(h)
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                         dtype=jnp.float32)(x)
+        return x * (1 + scale[..., None, :]) + shift[..., None, :]
+
+
+class _EncBlock(nn.Module):
+    """DINOv2 BlockMod: AdaNorm -> attn -> LayerScale; AdaNorm -> MLP ->
+    LayerScale (`dinov2/layers/block.py:45-120`)."""
+
+    cfg: SVRMConfig
+
+    @nn.compact
+    def __call__(self, x, cam_emb):
+        cfg = self.cfg
+        w = cfg.enc_width
+        hd = w // cfg.enc_heads
+
+        h = AdaNorm(w, cfg.param_dtype, name="adaln1")(x, cam_emb)
+        qkv = nn.Dense(3 * w, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                       name="qkv")(h.astype(cfg.dtype))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(t.shape[:-1] + (cfg.enc_heads, hd))
+
+        from labelany3d_tpu.ops.attention import flash_sdpa
+
+        o = flash_sdpa(heads(q), heads(k), heads(v))
+        o = nn.Dense(w, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                     name="proj")(o.reshape(h.shape[:-1] + (w,)))
+        g1 = self.param("ls1", lambda k_, s: jnp.full(s, cfg.layerscale_init,
+                                                      cfg.param_dtype), (w,))
+        x = x + o * g1.astype(o.dtype)
+
+        h = AdaNorm(w, cfg.param_dtype, name="adaln2")(x, cam_emb)
+        h = nn.Dense(4 * w, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                     name="fc1")(h.astype(cfg.dtype))
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(w, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                     name="fc2")(h)
+        g2 = self.param("ls2", lambda k_, s: jnp.full(s, cfg.layerscale_init,
+                                                      cfg.param_dtype), (w,))
+        return x + h * g2.astype(h.dtype)
+
+
+class CamModViT(nn.Module):
+    """dinov2_vitb14 with camera modulation (FrozenDinoV2ImageEmbedder):
+    images (B, H, W, 3) + cams (B, cam_dim) -> (B, 1 + N, width) tokens
+    ([cls | patch], camera-modulated AdaNorm final norm)."""
+
+    cfg: SVRMConfig
+
+    @nn.compact
+    def __call__(self, images, cams):
+        cfg = self.cfg
+        b, hh, ww, _ = images.shape
+        gh, gw = hh // cfg.enc_patch, ww // cfg.enc_patch
+
+        cam = nn.silu(nn.Dense(cfg.enc_width, param_dtype=cfg.param_dtype,
+                               dtype=jnp.float32, name="cam_fc1")(cams))
+        cam_emb = nn.Dense(cfg.enc_width, param_dtype=cfg.param_dtype,
+                           dtype=jnp.float32, name="cam_fc2")(cam)
+
+        x = nn.Conv(cfg.enc_width, (cfg.enc_patch,) * 2, strides=(cfg.enc_patch,) * 2,
+                    padding="VALID", dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                    name="patch_embed")(images.astype(cfg.dtype))
+        x = x.reshape(b, gh * gw, cfg.enc_width)
+
+        pg = cfg.enc_pos_grid
+        pos = self.param("pos_embed", nn.initializers.normal(0.02, jnp.float32),
+                         (1, pg, pg, cfg.enc_width))
+        if (pg, pg) != (gh, gw):
+            # dinov2_vitb14 interpolates without antialias
+            # (interpolate_antialias=False default).
+            pos = jax.image.resize(pos, (1, gh, gw, cfg.enc_width),
+                                   method="bicubic", antialias=False)
+        x = x + pos.reshape(1, gh * gw, cfg.enc_width).astype(cfg.dtype)
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, cfg.enc_width))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(cfg.dtype), (b, 1, cfg.enc_width)), x],
+            axis=1)
+        for i in range(cfg.enc_depth):
+            x = _EncBlock(cfg, name=f"block{i}")(x, cam_emb)
+        x = AdaNorm(cfg.enc_width, cfg.param_dtype, name="adaln_out")(x, cam_emb)
+        return x.astype(cfg.dtype)
+
+
+class _LRMBlock(nn.Module):
+    """BasicTransformerBlockLRM (`attention.py:393-425`): cross-attn to the
+    view tokens FIRST, then self-attn, then GEGLU FF; affine pre-LNs."""
+
+    cfg: SVRMConfig
 
     @nn.compact
     def __call__(self, x, context):
-        def attn(q_in, kv_in, name):
-            hd = self.dim // self.heads
-            dense = lambda n, d: nn.Dense(  # noqa: E731
-                d, dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"{name}_{n}",
-            )
-            q = dense("q", self.dim)(q_in)
-            k = dense("k", self.dim)(kv_in)
-            v = dense("v", self.dim)(kv_in)
+        cfg = self.cfg
+        dim = cfg.token_dim
+        hd = dim // cfg.num_heads
+
+        def attn(q_in, kv_in, name, kv_dim):
+            dn = lambda n, d, bias: nn.Dense(  # noqa: E731
+                d, use_bias=bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                name=f"{name}_{n}")
+            q = dn("q", dim, False)(q_in)
+            k = dn("k", dim, False)(kv_in)
+            v = dn("v", dim, False)(kv_in)
 
             def heads(t):
-                return t.reshape(t.shape[:-1] + (self.heads, hd))
+                return t.reshape(t.shape[:-1] + (cfg.num_heads, hd))
 
             from labelany3d_tpu.ops.attention import flash_sdpa
 
             o = flash_sdpa(heads(q), heads(k), heads(v))
-            return dense("o", self.dim)(o.reshape(q_in.shape[:-1] + (self.dim,)))
+            return dn("out", dim, True)(o.reshape(q_in.shape[:-1] + (dim,)))
 
-        ln = lambda n: nn.LayerNorm(  # noqa: E731
-            dtype=jnp.float32, param_dtype=self.param_dtype, name=n
-        )
-        x = x + attn(ln("norm1")(x).astype(self.dtype), x, "self")
-        x = x + attn(ln("norm2")(x).astype(self.dtype), context, "cross")
-        h = ln("norm3")(x).astype(self.dtype)
-        h = nn.Dense(4 * self.dim, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="ff1")(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="ff2")(h)
+        ln = lambda n: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,  # noqa: E731
+                                    param_dtype=cfg.param_dtype, name=n)
+        x = x + attn(ln("norm1")(x).astype(cfg.dtype), context, "cross",
+                     cfg.context_dim)
+        h = ln("norm2")(x).astype(cfg.dtype)
+        x = x + attn(h, h, "self", dim)
+        h = ln("norm3")(x).astype(cfg.dtype)
+        hg = nn.Dense(8 * dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                      name="ff_proj")(h)
+        a, gate = jnp.split(hg, 2, axis=-1)
+        h = a * nn.gelu(gate, approximate=False)
+        h = nn.Dense(dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                     name="ff_out")(h)
         return x + h
 
 
 class TriplaneField(nn.Module):
-    """(3, R, R, C) planes + (..., 3) points -> dict(sdf, rgb).
-
-    OSGDecoder parity (synthesizer.py:19-131): concat 3 plane samples,
-    small ReLU MLP, sigmoid-clamped rgb, spherical SDF bias.
-    """
+    """OSGDecoder (`synthesizer.py:19-131`): (3, R, R, C) planes +
+    (..., 3) points -> dict(sdf, rgb). Positive sdf = inside (the released
+    code ships with the sphere bias disabled); rgb sigmoid-clamped."""
 
     cfg: SVRMConfig
 
     @nn.compact
     def __call__(self, planes, points):
         cfg = self.cfg
-        p = points / cfg.aabb  # [-1, 1] box warp
-        # EG3D plane projections: XY, XZ, ZY.
+        p = points * (2.0 / cfg.box_warp)
+        # EG3D plane projections (renderer.py generate_planes + inverse).
         proj = [p[..., (0, 1)], p[..., (0, 2)], p[..., (2, 1)]]
         feats = [grid_sample(planes[i].astype(jnp.float32), proj[i])
                  for i in range(3)]
@@ -146,50 +259,39 @@ class TriplaneField(nn.Module):
         x = nn.Dense(4, dtype=jnp.float32, param_dtype=cfg.param_dtype,
                      name="out")(x)
         rgb = jax.nn.sigmoid(x[..., 1:]) * (1 + 2 * 0.001) - 0.001
-        sphere = jnp.linalg.norm(points, axis=-1, keepdims=True) - cfg.sdf_bias_radius
-        sdf = x[..., :1] + sphere
-        return {"sdf": sdf[..., 0], "rgb": rgb}
+        return {"sdf": x[..., 0], "rgb": rgb}
 
 
 class SVRM(nn.Module):
-    """views (B, M, H, W, 3) in [0,1] + cams (B, M, cam_dim) -> triplanes.
-
-    `__call__` returns (B, 3, R, R, C) triplanes; `query` evaluates the
-    field; `grid` evaluates a dense G^3 SDF+RGB lattice in the aabb.
-    """
+    """views (B, M, H, W, 3) ImageNet-normalized + cams (B, M, cam_dim)
+    -> (B, 3, R, R, C) triplanes; `query`/`grid` evaluate the field."""
 
     cfg: SVRMConfig
 
     def setup(self):
         cfg = self.cfg
-        self.encoder = ViT(cfg.encoder, name="encoder")
-        self.cam_embed = nn.Dense(cfg.encoder.width, name="cam_embed")
-        self.ctx_proj = nn.Dense(cfg.token_dim, name="ctx_proj")
+        self.encoder = CamModViT(cfg, name="encoder")
         self.pos_emb = self.param(
-            "pos_emb",
-            nn.initializers.normal(1.0 / np.sqrt(cfg.token_dim), jnp.float32),
+            "pos_emb", nn.initializers.zeros,
             (1, 3 * cfg.plane_size * cfg.plane_size, cfg.token_dim),
         )
-        self.blocks = [
-            _Block(cfg.token_dim, cfg.num_heads, cfg.dtype, cfg.param_dtype,
-                   name=f"block{i}")
-            for i in range(cfg.depth)
-        ]
-        self.final_norm = nn.LayerNorm(dtype=jnp.float32,
+        self.blocks = [_LRMBlock(cfg, name=f"block{i}") for i in range(cfg.depth)]
+        self.final_norm = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                                        param_dtype=cfg.param_dtype,
                                        name="final_norm")
         self.upsampler = nn.Dense(
-            cfg.triplane_dim * cfg.upsample_ratio ** 2, name="upsampler"
-        )
+            cfg.triplane_dim * cfg.upsample_ratio**2,
+            param_dtype=cfg.param_dtype, name="upsampler")
         self.field = TriplaneField(cfg, name="field")
 
     def __call__(self, views, cams):
         cfg = self.cfg
         b, m = views.shape[:2]
         flat = views.reshape((b * m,) + views.shape[2:])
-        tokens = self.encoder(flat)["tokens"]  # (B*M, N, We)
-        tokens = tokens + self.cam_embed(cams.reshape(b * m, -1))[:, None, :].astype(tokens.dtype)
-        ctx = self.ctx_proj(tokens.reshape(b, m * tokens.shape[1], -1))
+        tokens = self.encoder(flat, cams.reshape(b * m, -1))  # (B*M, 1+N, D)
+        # Reference interleave is '(b m) l d -> b (l m) d'; attention over
+        # the context is permutation-invariant, so view-major is identical.
+        ctx = tokens.reshape(b, m * tokens.shape[1], -1)
 
         h = jnp.broadcast_to(self.pos_emb, (b,) + self.pos_emb.shape[1:]).astype(cfg.dtype)
         for blk in self.blocks:
@@ -199,7 +301,7 @@ class SVRM(nn.Module):
         s, r, c = cfg.plane_size, cfg.upsample_ratio, cfg.triplane_dim
         h = self.upsampler(h.astype(jnp.float32))
         h = h.reshape(b, 3, s, s, c, r, r)
-        h = h.transpose(0, 1, 2, 5, 3, 6, 4)          # (b, 3, s, r, s, r, c)
+        h = h.transpose(0, 1, 2, 5, 3, 6, 4)          # (b, 3, s, r1, s, r2, c)
         return h.reshape(b, 3, s * r, s * r, c)
 
     def query(self, planes, points):
@@ -214,29 +316,143 @@ class SVRM(nn.Module):
         return planes
 
     def grid(self, planes):
-        """Dense lattice query: (G, G, G) sdf + (G, G, G, 3) rgb."""
+        """Dense lattice query in (x, y, z) index order over linspace
+        [-aabb, aabb] (forward_grid parity): (G, G, G) sdf + rgb."""
         g = self.cfg.grid_size
-        ar = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g * 2.0 - 1.0
-        ar = ar * self.cfg.aabb
-        zz, yy, xx = jnp.meshgrid(ar, ar, ar, indexing="ij")
-        pts = jnp.stack([xx, yy, zz], axis=-1)  # (G, G, G, 3), index order z,y,x
+        ar = jnp.linspace(-self.cfg.aabb, self.cfg.aabb, g)
+        xx, yy, zz = jnp.meshgrid(ar, ar, ar, indexing="ij")
+        pts = jnp.stack([xx, yy, zz], axis=-1)  # (G, G, G, 3), index (x,y,z)
         out = self.field(planes, pts)
         return out["sdf"], out["rgb"]
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint conversion (svrm.safetensors)
+# ---------------------------------------------------------------------------
+
+
+def convert_svrm(state: dict, cfg: SVRMConfig | None = None) -> dict:
+    """Released `svrm.safetensors` state dict -> Flax params for `SVRM`.
+
+    Torch names from `SVRMModel` submodules: `img_encoder.model.*`
+    (vendored dinov2 + AdaNorm), `img_to_triplane_decoder.*`, and
+    `render.decoder.net.*`. Pass `{k: tensor.numpy()}`.
+    """
+    cfg = cfg or SVRMConfig()
+
+    def t(w):
+        return np.ascontiguousarray(np.asarray(w).T)
+
+    def lin(pre, bias=True):
+        p = {"kernel": t(state[pre + "weight"])}
+        if bias:
+            p["bias"] = np.asarray(state[pre + "bias"])
+        return p
+
+    def ada(pre):
+        return {"mod": lin(pre + "adaLN_modulation.1.")}
+
+    def ln(pre):
+        return {"scale": np.asarray(state[pre + "weight"]),
+                "bias": np.asarray(state[pre + "bias"])}
+
+    e = "img_encoder.model."
+    pe = np.asarray(state[e + "patch_embed.proj.weight"])  # (C, 3, p, p)
+    pos = np.asarray(state[e + "pos_embed"])               # (1, 1+N, C)
+    pg = cfg.enc_pos_grid
+    cls = np.asarray(state[e + "cls_token"]) + pos[:, :1]
+    enc: dict = {
+        "cam_fc1": lin(e + "cam_embed.0."),
+        "cam_fc2": lin(e + "cam_embed.2."),
+        "patch_embed": {"kernel": np.transpose(pe, (2, 3, 1, 0)),
+                        "bias": np.asarray(state[e + "patch_embed.proj.bias"])},
+        "pos_embed": pos[:, 1:].reshape(1, pg, pg, cfg.enc_width),
+        "cls_token": cls,
+        "adaln_out": ada(e + "norm."),
+    }
+    for i in range(cfg.enc_depth):
+        pre = f"{e}blocks.{i}."
+        enc[f"block{i}"] = {
+            "adaln1": ada(pre + "norm1."),
+            "qkv": lin(pre + "attn.qkv."),
+            "proj": lin(pre + "attn.proj."),
+            "ls1": np.asarray(state[pre + "ls1.gamma"]),
+            "adaln2": ada(pre + "norm2."),
+            "fc1": lin(pre + "mlp.fc1."),
+            "fc2": lin(pre + "mlp.fc2."),
+            "ls2": np.asarray(state[pre + "ls2.gamma"]),
+        }
+
+    d = "img_to_triplane_decoder."
+    p: dict = {
+        "encoder": enc,
+        "pos_emb": np.asarray(state[d + "pos_emb"]),
+        "final_norm": ln(d + "img_to_triplane_decoder.norm."),
+        "upsampler": lin(d + "upsampler."),
+        "field": {
+            "fc0": lin("render.decoder.net.0."),
+            "out": lin(f"render.decoder.net.{2 * (cfg.field_layers - 1)}."),
+        },
+    }
+    for i in range(cfg.field_layers - 2):
+        p["field"][f"fc{i + 1}"] = lin(f"render.decoder.net.{2 * (i + 1)}.")
+    for i in range(cfg.depth):
+        pre = f"{d}img_to_triplane_decoder.transformer_blocks.{i}."
+        p[f"block{i}"] = {
+            "norm1": ln(pre + "norm1."),
+            "norm2": ln(pre + "norm2."),
+            "norm3": ln(pre + "norm3."),
+            "cross_q": lin(pre + "attn1.to_q.", bias=False),
+            "cross_k": lin(pre + "attn1.to_k.", bias=False),
+            "cross_v": lin(pre + "attn1.to_v.", bias=False),
+            "cross_out": lin(pre + "attn1.to_out.0."),
+            "self_q": lin(pre + "attn2.to_q.", bias=False),
+            "self_k": lin(pre + "attn2.to_k.", bias=False),
+            "self_v": lin(pre + "attn2.to_v.", bias=False),
+            "self_out": lin(pre + "attn2.to_out.0."),
+            "ff_proj": lin(pre + "ff.net.0.proj."),
+            "ff_out": lin(pre + "ff.net.2."),
+        }
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Reconstruction backend
+# ---------------------------------------------------------------------------
+
+
+def create_camera_to_world(elev_deg: float, azim_deg: float,
+                           cam_dis: float = 1.5) -> np.ndarray:
+    """`predictor.py::create_camera_to_world_matrix` (z-up OpenGL orbit)."""
+    el, az = np.radians(elev_deg), np.radians(azim_deg)
+    pos = np.array([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                    np.sin(el)]) * cam_dis
+    forward = -pos / np.linalg.norm(pos)
+    up = np.array([0.0, 0.0, 1.0])
+    right = np.cross(forward, up)
+    right /= np.linalg.norm(right)
+    new_up = np.cross(right, forward)
+    new_up /= np.linalg.norm(new_up)
+    c2w = np.eye(4)
+    c2w[:3, :3] = np.stack([right, new_up, -forward], axis=0).T
+    c2w[:3, 3] = pos
+    return c2w
 
 
 class SVRMReconstruction:
     """Reconstruction backend (stage 6): novel views -> SVRM -> Mesh.
 
-    The neural replacement for visual-hull space carving
-    (`models/spacecarve.py`), matching the reference's Hunyuan3D path:
-    multi-view diffusion (`Image2Views`) then SVRM NeuS
-    (`views_to_mesh.py:41-70`). `novel_views` supplies the M orbit views
-    (Zero123-equivalent); without converted weights the field is random
-    and a one-shot warning fires.
+    Matches the reference's Hunyuan3D path: multi-view diffusion
+    (`Image2Views`, mvd_std) then SVRM (`views_to_mesh.py:41-120`).
+    The view layout is the mvd_std one after reordering: six views at
+    elevation 0, azimuths 0..300, plus the input view with a zero camera
+    (`predictor.py:46-47,103-131`). `novel_views` supplies the orbit views
+    (Zero123-equivalent generator); without converted weights the field is
+    random and a one-shot warning fires.
     """
 
-    ELEVATIONS = (0.0, 0.0, 0.0, 0.0, -30.0, -30.0)
-    AZIMUTHS = (0.0, 60.0, 120.0, 180.0, 240.0, 300.0)  # MVD "std" orbit
+    ELEVATIONS = (0.0,) * 6
+    AZIMUTHS = (0.0, 60.0, 120.0, 180.0, 240.0, 300.0)
 
     def __init__(self, novel_views=None, cfg: SVRMConfig | None = None,
                  params=None, seed: int = 0):
@@ -255,8 +471,8 @@ class SVRMReconstruction:
                 "svrm_random",
                 "SVRM reconstructor runs with random-initialized weights "
                 "(no converted checkpoint) — meshes are not meaningful; "
-                "use obj_rec=hunyuan3d_carve for the deterministic "
-                "baseline; see docs/WEIGHTS.md",
+                "convert svrm.safetensors with convert_cli svrm, or use "
+                "obj_rec=hunyuan3d_carve for the deterministic baseline",
             )
             cfg = self.cfg
             views = jnp.zeros((1, cfg.num_views, cfg.image_size, cfg.image_size, 3))
@@ -274,22 +490,15 @@ class SVRMReconstruction:
 
             self._jit = jax.jit(run)
 
-    @staticmethod
-    def camera_vector(elev_deg: float, azim_deg: float, radius: float = 2.0,
-                      fov_deg: float = 49.1, dim: int = 20) -> np.ndarray:
-        """Camera conditioning: flattened 3x4 w2c + 4 intrinsics scalars,
-        zero-padded to `dim` (the reference's 20-dim input_view_cam
-        layout role)."""
-        from labelany3d_tpu.registration.cameras import opencv_orbit_pose
-
-        R, t = opencv_orbit_pose(elev_deg, azim_deg, radius)
-        f = 0.5 / np.tan(np.deg2rad(fov_deg) / 2)
-        vec = np.concatenate([
-            np.concatenate([R, t[:, None]], axis=1).reshape(-1),
-            [f, f, 0.5, 0.5],
-        ])
-        vec = vec[:dim]
-        return np.pad(vec, (0, dim - len(vec))).astype(np.float32)
+    @classmethod
+    def camera_vector(cls, elev_deg: float, azim_deg: float,
+                      dim: int = 20) -> np.ndarray:
+        """20-dim conditioning: flattened 4x4 c2w + [35/32, 35/32, .5, .5]
+        (`predictor.py:110-115`)."""
+        c2w = create_camera_to_world(elev_deg, azim_deg)
+        vec = np.concatenate([c2w.reshape(-1),
+                              [35.0 / 32, 35.0 / 32, 0.5, 0.5]])
+        return vec[:dim].astype(np.float32)
 
     def reconstruct(self, crop_rgba: np.ndarray, label: str = "") -> Mesh:
         from PIL import Image
@@ -299,46 +508,57 @@ class SVRMReconstruction:
         self._ensure()
         cfg = self.cfg
         n = cfg.num_views
-        views = []
-        for i in range(n):
-            if self.novel_views is not None and i > 0:
-                img = self.novel_views.generate(
-                    crop_rgba, self.ELEVATIONS[i % len(self.ELEVATIONS)],
-                    self.AZIMUTHS[i % len(self.AZIMUTHS)],
-                )
+        n_orbit = n - 1
+
+        rgba = np.asarray(crop_rgba)
+        rgb_in = rgba[..., :3]
+        if rgba.shape[-1] == 4:
+            a = rgba[..., 3:4].astype(np.float32) / 255.0
+            rgb_in = (rgb_in * a + 255 * (1 - a)).astype(np.uint8)
+
+        views, cams = [], []
+        for i in range(n_orbit):
+            el = self.ELEVATIONS[i % len(self.ELEVATIONS)]
+            az = self.AZIMUTHS[i % len(self.AZIMUTHS)]
+            if self.novel_views is not None and (el, az) != (0.0, 0.0):
+                img = self.novel_views.generate(crop_rgba, el, az)
             else:
-                rgba = np.asarray(crop_rgba)
-                rgb = rgba[..., :3]
-                if rgba.shape[-1] == 4:
-                    a = rgba[..., 3:4].astype(np.float32) / 255.0
-                    rgb = (rgb * a + 255 * (1 - a)).astype(np.uint8)
-                img = rgb
-            img = np.asarray(
+                img = rgb_in
+            views.append(img)
+            cams.append(self.camera_vector(el, az, dim=cfg.cam_dim))
+        # The user's input view rides last with a zero camera
+        # (`predictor.py:126-127` input_cams[-1] = 0).
+        views.append(rgb_in)
+        cams.append(np.zeros(cfg.cam_dim, np.float32))
+
+        mean = np.asarray(_IMAGENET_MEAN, np.float32)
+        std = np.asarray(_IMAGENET_STD, np.float32)
+        proc = []
+        for img in views:
+            arr = np.asarray(
                 Image.fromarray(np.asarray(img, np.uint8)).resize(
-                    (cfg.image_size,) * 2, Image.BILINEAR)
-            )
-            views.append(img.astype(np.float32) / 255.0)
-        cams = np.stack([
-            self.camera_vector(self.ELEVATIONS[i % len(self.ELEVATIONS)],
-                               self.AZIMUTHS[i % len(self.AZIMUTHS)],
-                               dim=cfg.cam_dim)
-            for i in range(n)
-        ])
+                    (cfg.image_size,) * 2, Image.BICUBIC))
+            proc.append((arr.astype(np.float32) / 255.0 - mean) / std)
+
         sdf, rgb = self._jit(
             self.params,
-            jnp.asarray(np.stack(views))[None],
-            jnp.asarray(cams, jnp.float32)[None],
+            jnp.asarray(np.stack(proc))[None],
+            jnp.asarray(np.stack(cams), jnp.float32)[None],
         )
-        verts, faces = marching_cubes_mesh(np.asarray(sdf), iso=0.0)
+        # Positive-inside convention: extract the zero level of -sdf
+        # (`svrm.py:180` mcubes(0 - sdf, 0)).
+        verts, faces = marching_cubes_mesh(-np.asarray(sdf), iso=0.0)
         if len(verts) == 0:
             return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
         g = cfg.grid_size
-        # grid index order is (z, y, x); colors sample at vertex cells
-        vi = np.clip(verts.astype(np.int64), 0, g - 1)
+        # Grid index order is (x, y, z) on a linspace lattice.
+        verts_obj = (verts / (g - 1) * (2 * cfg.aabb) - cfg.aabb).astype(np.float32)
+        # Vertex colors from the already-computed rgb lattice (the
+        # reference re-queries the field at refined verts; nearest lattice
+        # sample is within one cell of that).
+        vi = np.clip(np.round(verts).astype(np.int64), 0, g - 1)
         colors = np.asarray(rgb)[vi[:, 0], vi[:, 1], vi[:, 2]]
-        # grid coords -> object frame [-0.5, 0.5] (generative output norm)
-        verts_obj = (verts / g - 0.5).astype(np.float32)
-        # marching grid order (z, y, x) -> (x, y, z)
-        verts_obj = verts_obj[:, ::-1]
+        # OBJ export axis order (y, z, x) — `svrm.py:213` verts[:, [1,2,0]].
+        verts_obj = verts_obj[:, [1, 2, 0]]
         return Mesh(np.ascontiguousarray(verts_obj), faces,
                     colors=colors.astype(np.float32))

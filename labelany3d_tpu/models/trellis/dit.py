@@ -1,13 +1,25 @@
-"""DiT blocks for the image->3D flow models (dense 3D and sparse voxel).
+"""DiT primitives for the image->3D flow models (dense 3D and sparse voxel).
 
-Parity targets in the reference tree: TRELLIS's `SparseStructureFlowModel`
-and `SLatFlowModel` transformer blocks — adaLN-zero timestep modulation,
-self-attention (dense, or serialized/windowed over sparse voxels) and
-cross-attention to DINOv2 image tokens.
+Checkpoint-faithful to TRELLIS's transformer modules so released weights
+convert one-to-one (see `models/convert_trellis.py`):
 
-TPU-first: fused SDPA everywhere; the sparse attention modes come from
-`labelany3d_tpu.ops.attention` (static-slot replacements for varlen
-flash-attn); all modulation math fuses into the surrounding matmuls.
+  * `ModulatedTransformerCrossBlock` (`trellis/modules/transformer/
+    modulated.py:78-180`): adaLN-zero self-attention -> plain (affine-LN)
+    cross-attention to image tokens -> adaLN-zero MLP;
+  * `TransformerBlock` / `SparseTransformerBlock` (`trellis/modules/
+    transformer/blocks.py:63-113`, `sparse/transformer/blocks.py:24-80`):
+    non-affine pre-LN attention + MLP (the SLat VAE decoders);
+  * `MultiHeadAttention` (`trellis/modules/attention/modules.py:65-175`):
+    fused qkv self / q+kv cross projections with optional per-head RMS
+    q/k norm; here q/k/v are separate Dense modules (the converter splits
+    the fused torch weights — numerically identical);
+  * `TimestepEmbedder` (`trellis/models/sparse_structure_flow.py:11-52`)
+    and `AbsolutePositionEmbedder` (`transformer/blocks.py:8-46`).
+
+TPU-first: dense attention runs the Pallas flash kernel (VMEM-resident
+K/V); sparse attention modes come from `labelany3d_tpu.ops.attention`
+(static-slot replacements for varlen flash-attn); modulation math fuses
+into the surrounding matmuls under XLA.
 """
 
 from __future__ import annotations
@@ -19,196 +31,238 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from labelany3d_tpu.ops.attention import serialized_attention, windowed_attention_3d
+from labelany3d_tpu.ops.attention import (
+    flash_sdpa,
+    serialized_attention,
+    windowed_attention_3d,
+)
 
 
 @dataclasses.dataclass(frozen=True)
 class DiTConfig:
-    width: int = 768
-    depth: int = 12
-    num_heads: int = 12
+    """Transformer-torso hyperparameters shared by the flow models."""
+
+    width: int = 1024
+    depth: int = 24
+    num_heads: int = 16
     mlp_ratio: float = 4.0
-    cond_dim: int = 1024           # image-conditioning token dim
+    cond_dim: int = 1024           # image-conditioning token dim (DINOv2)
+    qk_rms_norm: bool = False      # per-head RMS norm on self-attn q/k
+    qk_rms_norm_cross: bool = False
+    share_mod: bool = False        # one adaLN modulation shared by all blocks
     dtype: Any = jnp.bfloat16
-    # sparse-attention schedule: mode per block cycles through this list
-    sparse_modes: tuple = ("serialized", "serialized", "windowed")
-    serialized_window: int = 512
-    spatial_window: int = 8
-    grid_size: int = 64
 
     @staticmethod
     def tiny_test(**kw) -> "DiTConfig":
-        return DiTConfig(width=32, depth=2, num_heads=2, cond_dim=16, **kw)
+        return DiTConfig(width=36, depth=2, num_heads=2, cond_dim=16, **kw)
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
-    """Sinusoidal timestep embedding (DiT convention); t in [0, 1]."""
+    """Sinusoidal timestep embedding, glide convention ([cos | sin]).
+
+    Parity: `sparse_structure_flow.py:25-47`. `t` is the already-scaled
+    timestep (the samplers pass 1000 * t like the reference's
+    `FlowEulerSampler._inference_model`).
+    """
     half = dim // 2
     freqs = jnp.exp(-jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
-    args = t[..., None].astype(jnp.float32) * freqs * 1000.0
-    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    args = t[..., None].astype(jnp.float32) * freqs
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[..., :1])], axis=-1)
+    return emb
 
 
-class AdaLNModulation(nn.Module):
+class TimestepEmbedder(nn.Module):
+    """256-dim sinusoid -> Linear -> SiLU -> Linear (t_embedder.mlp.{0,2})."""
+
     width: int
-    n_chunks: int
-    dtype: Any
+    freq_dim: int = 256
 
     @nn.compact
-    def __call__(self, cond_vec):
-        h = nn.silu(cond_vec)
-        out = nn.Dense(
-            self.n_chunks * self.width, dtype=jnp.float32,
-            kernel_init=nn.initializers.zeros, name="mod",
-        )(h)
-        return jnp.split(out, self.n_chunks, axis=-1)
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        h = timestep_embedding(t, self.freq_dim)
+        h = nn.Dense(self.width, dtype=jnp.float32, name="fc1")(h)
+        h = nn.silu(h)
+        return nn.Dense(self.width, dtype=jnp.float32, name="fc2")(h)
 
 
-class _Attention(nn.Module):
+def ape_3d(coords: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """Absolute sinusoidal position embedding over (..., 3) coordinates.
+
+    Parity: `AbsolutePositionEmbedder` (`transformer/blocks.py:8-46`):
+    freq_dim = channels // 3 // 2, freqs = 10000^-(i/freq_dim), per-point
+    layout [sin(x) | cos(x) | sin(y) | cos(y) | sin(z) | cos(z)],
+    zero-padded to `channels`.
+    """
+    in_ch = coords.shape[-1]
+    freq_dim = channels // in_ch // 2
+    freqs = 1.0 / (10000.0 ** (jnp.arange(freq_dim, dtype=jnp.float32) / freq_dim))
+    x = coords[..., None].astype(jnp.float32) * freqs       # (..., 3, fd)
+    emb = jnp.concatenate([jnp.sin(x), jnp.cos(x)], axis=-1)  # (..., 3, 2fd)
+    emb = emb.reshape(*coords.shape[:-1], in_ch * 2 * freq_dim)
+    pad = channels - emb.shape[-1]
+    if pad:
+        emb = jnp.concatenate([emb, jnp.zeros((*emb.shape[:-1], pad), emb.dtype)], axis=-1)
+    return emb
+
+
+class MultiHeadRMSNorm(nn.Module):
+    """Per-head RMS q/k norm (`attention/modules.py:8-15`):
+    normalize(x) * gamma * sqrt(head_dim)."""
+
+    head_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        gamma = self.param("gamma", nn.initializers.ones, (self.num_heads, self.head_dim))
+        xf = x.astype(jnp.float32)
+        normed = xf * jax.lax.rsqrt(jnp.sum(xf * xf, axis=-1, keepdims=True) + 1e-12)
+        return (normed * gamma * (self.head_dim**0.5)).astype(x.dtype)
+
+
+def _run_attention(qh, kh, vh, attn_spec):
+    """Dispatch heads (B, N, H, D) through the mode selected by attn_spec.
+
+    attn_spec:
+      None                                  dense full attention
+      ("masked", valid)                     full attention, invalid keys masked
+      ("windowed", coords, valid, shift, grid, window)   swin 3D windows
+      ("serialized", coords, valid, shift, window)       space-filling curve
+    """
+    if attn_spec is None:
+        return flash_sdpa(qh, kh, vh)
+    mode = attn_spec[0]
+    if mode == "masked":
+        valid = attn_spec[1]
+        seg = jnp.where(valid, 0, 1).astype(jnp.int32)
+        return flash_sdpa(qh, kh, vh, segment_ids=seg)
+    if mode == "windowed":
+        _, coords, valid, shift, grid, window = attn_spec
+
+        def one(q, k, v, c, m):
+            return windowed_attention_3d(q, k, v, c, m, grid_size=grid,
+                                         window_size=window, shift=shift)
+
+        return jax.vmap(one)(qh, kh, vh, coords, valid)
+    if mode == "serialized":
+        _, coords, valid, shift, window = attn_spec
+
+        def one(q, k, v, c, m):
+            return serialized_attention(q, k, v, c, m, window_size=window, shift=shift)
+
+        return jax.vmap(one)(qh, kh, vh, coords, valid)
+    raise ValueError(f"unknown attention mode {mode}")
+
+
+class Attention(nn.Module):
+    """MultiHeadAttention parity: separate q/k/v Dense (converter splits the
+    fused torch to_qkv / to_kv), optional per-head RMS norm, output proj."""
+
     cfg: DiTConfig
+    cross: bool = False
 
     @nn.compact
-    def __call__(self, x, kv=None, sparse=None):
+    def __call__(self, x, context=None, attn_spec=None):
         cfg = self.cfg
         hd = cfg.width // cfg.num_heads
-        kv_in = x if kv is None else kv
+        src = x if context is None else context
         q = nn.Dense(cfg.width, dtype=cfg.dtype, name="q")(x)
-        k = nn.Dense(cfg.width, dtype=cfg.dtype, name="k")(kv_in)
-        v = nn.Dense(cfg.width, dtype=cfg.dtype, name="v")(kv_in)
+        k = nn.Dense(cfg.width, dtype=cfg.dtype, name="k")(src)
+        v = nn.Dense(cfg.width, dtype=cfg.dtype, name="v")(src)
 
-        def heads(tr):
-            return tr.reshape(tr.shape[:-1] + (cfg.num_heads, hd))
+        def heads(t):
+            return t.reshape(t.shape[:-1] + (cfg.num_heads, hd))
 
         qh, kh, vh = heads(q), heads(k), heads(v)
-        if sparse is None:
-            # dense path (sparse-structure flow, cross-attention to cond
-            # tokens): VMEM-resident flash kernel on TPU, XLA sdpa elsewhere.
-            from labelany3d_tpu.ops.attention import flash_sdpa
-
-            out = flash_sdpa(qh, kh, vh)
-        else:
-            # coords (B, N, 3) / valid (B, N): each batch element carries its
-            # own slot layout; vmap maps attention over them jointly.
-            mode, coords, valid, shift = sparse
-
-            def one(qv, kvv, vvv, cv, vv):
-                if mode == "serialized":
-                    return serialized_attention(
-                        qv, kvv, vvv, cv, vv,
-                        window_size=cfg.serialized_window, shift=shift,
-                    )
-                return windowed_attention_3d(
-                    qv, kvv, vvv, cv, vv,
-                    grid_size=cfg.grid_size, window_size=cfg.spatial_window,
-                    shift=shift,
-                )
-
-            out = jax.vmap(one)(qh, kh, vh, coords, valid)
+        use_rms = cfg.qk_rms_norm_cross if self.cross else cfg.qk_rms_norm
+        if use_rms:
+            qh = MultiHeadRMSNorm(hd, cfg.num_heads, name="q_rms")(qh)
+            kh = MultiHeadRMSNorm(hd, cfg.num_heads, name="k_rms")(kh)
+        out = _run_attention(qh, kh, vh, attn_spec)
         out = out.reshape(x.shape[:-1] + (cfg.width,))
         return nn.Dense(cfg.width, dtype=cfg.dtype, name="proj")(out)
 
 
-class DiTBlock(nn.Module):
-    """adaLN-zero block: modulated self-attn, cross-attn to cond, MLP."""
+class FeedForward(nn.Module):
+    """FeedForwardNet parity: Linear -> tanh-GELU -> Linear (mlp.mlp.{0,2})."""
 
     cfg: DiTConfig
 
     @nn.compact
-    def __call__(self, x, cond_vec, cond_tokens=None, sparse=None):
+    def __call__(self, x):
         cfg = self.cfg
-        mods = AdaLNModulation(cfg.width, 6, cfg.dtype, name="adaln")(cond_vec)
+        h = nn.Dense(int(cfg.width * cfg.mlp_ratio), dtype=cfg.dtype, name="fc1")(x)
+        h = nn.gelu(h, approximate=True)
+        return nn.Dense(cfg.width, dtype=cfg.dtype, name="fc2")(h)
+
+
+class AdaLNModulation(nn.Module):
+    """SiLU -> zero-init Dense(6 * width) (adaLN_modulation.{0,1})."""
+
+    width: int
+
+    @nn.compact
+    def __call__(self, t_emb):
+        h = nn.silu(t_emb.astype(jnp.float32))
+        out = nn.Dense(6 * self.width, dtype=jnp.float32,
+                       kernel_init=nn.initializers.zeros, name="mod")(h)
+        return jnp.split(out, 6, axis=-1)
+
+
+class DiTBlock(nn.Module):
+    """ModulatedTransformerCrossBlock parity (`modulated.py:78-180`).
+
+    Order: norm1 (non-affine) -> mod -> self-attn -> gate; norm2 (affine)
+    -> cross-attn (no modulation, no gate); norm3 (non-affine) -> mod ->
+    MLP -> gate. With cfg.share_mod the 6 modulation chunks are computed
+    once at the model level and passed in via `mods`.
+    """
+
+    cfg: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, t_emb=None, cond_tokens=None, attn_spec=None, mods=None):
+        cfg = self.cfg
+        if mods is None:
+            mods = AdaLNModulation(cfg.width, name="adaln")(t_emb)
         shift_sa, scale_sa, gate_sa, shift_mlp, scale_mlp, gate_mlp = mods
 
         def mod(h, shift, scale):
             return h * (1 + scale[..., None, :]) + shift[..., None, :]
 
-        h = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name="norm1")(x)
+        h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                         dtype=jnp.float32, name="norm1")(x)
         h = mod(h, shift_sa, scale_sa).astype(cfg.dtype)
-        x = x + gate_sa[..., None, :] * _Attention(cfg, name="self_attn")(h, sparse=sparse)
+        h = Attention(cfg, name="self_attn")(h, attn_spec=attn_spec)
+        x = x + gate_sa[..., None, :] * h
 
         if cond_tokens is not None:
-            h = nn.LayerNorm(dtype=jnp.float32, name="norm_cross")(x).astype(cfg.dtype)
-            ct = nn.Dense(cfg.width, dtype=cfg.dtype, name="cond_proj")(cond_tokens)
-            x = x + _Attention(cfg, name="cross_attn")(h, kv=ct)
+            h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+            h = Attention(cfg, cross=True, name="cross_attn")(
+                h.astype(cfg.dtype), context=cond_tokens)
+            x = x + h
 
-        h = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                         dtype=jnp.float32, name="norm3")(x)
         h = mod(h, shift_mlp, scale_mlp).astype(cfg.dtype)
-        h = nn.Dense(int(cfg.width * cfg.mlp_ratio), dtype=cfg.dtype, name="fc1")(h)
-        h = nn.gelu(h, approximate=True)
-        h = nn.Dense(cfg.width, dtype=cfg.dtype, name="fc2")(h)
+        h = FeedForward(cfg, name="mlp")(h)
         return x + gate_mlp[..., None, :] * h
 
 
-class DenseDiT3D(nn.Module):
-    """DiT over a dense (B, N_tokens, C_in) token field (16^3 latent)."""
+class TransformerBlock(nn.Module):
+    """Plain (non-modulated) pre-LN block, non-affine norms — the SLat VAE
+    decoder block (`sparse/transformer/blocks.py:24-80`, ln_affine=False)."""
 
     cfg: DiTConfig
-    in_channels: int
-    out_channels: int
 
     @nn.compact
-    def __call__(self, tokens, t, cond_tokens):
+    def __call__(self, x, attn_spec=None):
         cfg = self.cfg
-        x = nn.Dense(cfg.width, dtype=cfg.dtype, name="in_proj")(tokens)
-        n = x.shape[-2]
-        pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, n, cfg.width))
-        x = x + pos.astype(cfg.dtype)
-        temb = timestep_embedding(t, cfg.width)
-        cond_vec = nn.Dense(cfg.width, dtype=jnp.float32, name="t_proj")(temb)
-        for i in range(cfg.depth):
-            x = DiTBlock(cfg, name=f"block{i}")(x, cond_vec, cond_tokens)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm_out")(x)
-        return nn.Dense(
-            self.out_channels, dtype=jnp.float32,
-            kernel_init=nn.initializers.zeros, name="out_proj",
-        )(x.astype(jnp.float32))
-
-
-class SparseDiT(nn.Module):
-    """DiT over sparse voxel slots (B, N_slots, C_in) with coords/valid.
-
-    Attention mode cycles per block through cfg.sparse_modes with a
-    sequence shift every other serialized block (TRELLIS's layer schedule
-    shape, `serialized_attn.py` shift rotation).
-    """
-
-    cfg: DiTConfig
-    in_channels: int
-    out_channels: int
-
-    @nn.compact
-    def __call__(self, feats, coords, valid, t, cond_tokens):
-        cfg = self.cfg
-        x = nn.Dense(cfg.width, dtype=cfg.dtype, name="in_proj")(feats)
-        # Positional encoding from voxel coordinates (sinusoidal per axis).
-        third = cfg.width // 3
-        pe = []
-        for axis in range(3):
-            pe.append(timestep_embedding(coords[..., axis].astype(jnp.float32) / cfg.grid_size,
-                                         third))
-        pe = jnp.concatenate(pe, axis=-1)
-        pe = jnp.pad(pe, ((0, 0),) * (pe.ndim - 1) + ((0, cfg.width - pe.shape[-1]),))
-        x = x + pe.astype(cfg.dtype)
-
-        temb = timestep_embedding(t, cfg.width)
-        cond_vec = nn.Dense(cfg.width, dtype=jnp.float32, name="t_proj")(temb)
-
-        def batch_block(i):
-            mode = cfg.sparse_modes[i % len(cfg.sparse_modes)]
-            shift = (cfg.serialized_window // 2) if (mode == "serialized" and i % 2 == 1) else 0
-            return mode, shift
-
-        # Per-element slot layouts: broadcast unbatched coords/valid to the
-        # feats batch so each element attends within its own voxel set.
-        b = x.shape[0]
-        coords_b = coords if coords.ndim == 3 else jnp.broadcast_to(coords, (b, *coords.shape))
-        valid_b = valid if valid.ndim == 2 else jnp.broadcast_to(valid, (b, *valid.shape))
-        for i in range(cfg.depth):
-            mode, shift = batch_block(i)
-            sparse = (mode, coords_b, valid_b, shift)
-            x = DiTBlock(cfg, name=f"block{i}")(x, cond_vec, cond_tokens, sparse=sparse)
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm_out")(x)
-        return nn.Dense(
-            self.out_channels, dtype=jnp.float32,
-            kernel_init=nn.initializers.zeros, name="out_proj",
-        )(x.astype(jnp.float32))
+        h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                         dtype=jnp.float32, name="norm1")(x)
+        x = x + Attention(cfg, name="attn")(h.astype(cfg.dtype), attn_spec=attn_spec)
+        h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
+                         dtype=jnp.float32, name="norm2")(x)
+        return x + FeedForward(cfg, name="mlp")(h.astype(cfg.dtype))

@@ -3,14 +3,17 @@
 Parity target: `external/TRELLIS/trellis/pipelines/trellis_image_to_3d.py:
 256-283` in the reference tree:
 
-  preprocess (alpha crop + resize) -> DINOv2 conditioning ->
-  sample_sparse_structure (flow DiT + decoder -> active voxels) ->
-  sample_slat (sparse flow DiT) -> decode (Gaussians + mesh) -> GLB
-  (`postprocessing_utils.to_glb`: here, marching-tetrahedra surface +
-  vertex colors transferred from the Gaussians).
+  preprocess (alpha crop + resize) -> DINOv2 conditioning (layer-normed
+  x_prenorm, ImageNet normalization) -> sample_sparse_structure (flow DiT +
+  conv decoder -> active voxels) -> sample_slat (sparse UNet flow DiT, then
+  de-normalization with the pipeline's slat mean/std) -> decode (Gaussians
+  + FlexiCubes mesh) -> GLB (`postprocessing_utils.to_glb` role: textured
+  or vertex-colored mesh).
 
-Runs with random weights until TRELLIS checkpoints are converted; the
-architecture, sampler semantics, and all shapes follow the reference.
+Every model is checkpoint-faithful; released TRELLIS-image-large weights
+load through `models/convert_trellis.py` (see `models/convert_cli.py`
+`trellis_*` entries). Until converted weights are installed it runs with
+random weights (shapes/semantics identical).
 """
 
 from __future__ import annotations
@@ -23,10 +26,11 @@ import numpy as np
 
 from labelany3d_tpu.data.meshio import Mesh
 from labelany3d_tpu.models.trellis.decoders import (
-    GaussianDecoderConfig,
-    MeshDecoderConfig,
+    GaussianRepConfig,
+    SLatDecoderConfig,
     SLatGaussianDecoder,
     SLatMeshDecoder,
+    flexicubes_to_mesh,
 )
 from labelany3d_tpu.models.trellis.samplers import (
     FlowSamplerConfig,
@@ -37,62 +41,105 @@ from labelany3d_tpu.models.trellis.slat import SLatConfig, SLatFlowModel
 from labelany3d_tpu.models.trellis.sparse_structure import (
     SparseStructureConfig,
     SparseStructureFlowModel,
+    SSDecoderConfig,
     StructureDecoder,
     decode_occupancy,
 )
 from labelany3d_tpu.models.vit import ViT, ViTConfig
 
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
 
 @dataclasses.dataclass(frozen=True)
 class TrellisPipelineConfig:
-    cond_backbone: ViTConfig = dataclasses.field(default_factory=ViTConfig.giant)
+    # dinov2_vitl14_reg: the conditioner the released image pipeline loads
+    # via torch.hub (`trellis_image_to_3d.py:74-84`).
+    cond_backbone: ViTConfig = dataclasses.field(
+        default_factory=lambda: ViTConfig.large(
+            num_register_tokens=4, pos_grid=(37, 37)))
     cond_size: int = 518            # DINOv2 processing size (parity :85-119)
-    structure: SparseStructureConfig = dataclasses.field(default_factory=SparseStructureConfig)
+    structure: SparseStructureConfig = dataclasses.field(
+        default_factory=SparseStructureConfig)
+    ss_dec: SSDecoderConfig = dataclasses.field(default_factory=SSDecoderConfig)
     slat: SLatConfig = dataclasses.field(default_factory=SLatConfig)
-    gaussian: GaussianDecoderConfig = dataclasses.field(default_factory=GaussianDecoderConfig)
-    mesh: MeshDecoderConfig = dataclasses.field(default_factory=MeshDecoderConfig)
+    dec_gs: SLatDecoderConfig = dataclasses.field(default_factory=SLatDecoderConfig)
+    dec_mesh: SLatDecoderConfig = dataclasses.field(default_factory=SLatDecoderConfig)
+    gs_rep: GaussianRepConfig = dataclasses.field(default_factory=GaussianRepConfig)
     ss_sampler: FlowSamplerConfig = FlowSamplerConfig(steps=25, cfg_strength=7.5, rescale_t=3.0)
     slat_sampler: FlowSamplerConfig = FlowSamplerConfig(steps=25, cfg_strength=3.0)
     max_voxels: int = 8192
+    # Per-channel SLat de-normalization (the released pipeline.json's
+    # `slat_normalization`; identity until real stats are installed).
+    slat_mean: tuple = (0.0,) * 8
+    slat_std: tuple = (1.0,) * 8
 
     @staticmethod
     def tiny_test() -> "TrellisPipelineConfig":
         return TrellisPipelineConfig(
-            cond_backbone=ViTConfig.tiny_test(),
+            cond_backbone=ViTConfig.tiny_test(num_register_tokens=1),
             cond_size=32,
             structure=SparseStructureConfig.tiny_test(),
+            ss_dec=SSDecoderConfig.tiny_test(),
             slat=SLatConfig.tiny_test(),
-            gaussian=GaussianDecoderConfig(latent_channels=4, grid_size=16, hidden=16),
-            mesh=MeshDecoderConfig(latent_channels=4, grid_size=16, hidden=16),
+            dec_gs=SLatDecoderConfig.tiny_test(),
+            dec_mesh=SLatDecoderConfig.tiny_test(),
+            gs_rep=GaussianRepConfig(num_gaussians=4),
             ss_sampler=FlowSamplerConfig(steps=4, cfg_strength=3.0),
             slat_sampler=FlowSamplerConfig(steps=4, cfg_strength=1.5),
             max_voxels=256,
+            slat_mean=(0.0,) * 4,
+            slat_std=(1.0,) * 4,
         )
 
 
 class TrellisPipeline:
-    def __init__(self, cfg: TrellisPipelineConfig | None = None, seed: int = 0):
+    # Registry names the convert CLI writes and init_params reads back.
+    CKPT_NAMES = {
+        "cond": "trellis_cond",
+        "ss": "trellis_ss_flow",
+        "ss_dec": "trellis_ss_dec",
+        "slat": "trellis_slat_flow",
+        "gs": "trellis_slat_gs",
+        "mesh": "trellis_slat_mesh",
+    }
+
+    def __init__(self, cfg: TrellisPipelineConfig | None = None, seed: int = 0,
+                 ckpt_dir: str | None = None):
         self.cfg = cfg or TrellisPipelineConfig()
         c = self.cfg
         self.cond_model = ViT(c.cond_backbone)
         self.ss_model = SparseStructureFlowModel(c.structure)
-        self.ss_decoder = StructureDecoder(c.structure)
+        self.ss_decoder = StructureDecoder(c.ss_dec, latent_res=c.structure.latent_res)
         self.slat_model = SLatFlowModel(c.slat)
-        self.gs_decoder = SLatGaussianDecoder(c.gaussian)
-        self.mesh_decoder = SLatMeshDecoder(c.mesh)
+        self.gs_decoder = SLatGaussianDecoder(c.dec_gs, rep=c.gs_rep)
+        self.mesh_decoder = SLatMeshDecoder(c.dec_mesh)
         self.params: dict | None = None
         self._seed = seed
+        self._ckpt_dir = ckpt_dir
         self._jit_cache: dict = {}
 
     def _jitted(self, name: str, fn):
         """Cache jitted stage programs (one trace per pipeline instance)."""
         if name not in self._jit_cache:
-            import jax as _jax
-
-            self._jit_cache[name] = _jax.jit(fn)
+            self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
 
     # -- parameters -------------------------------------------------------
+    def _load_converted(self) -> dict:
+        """Pull converted checkpoints (convert_cli `trellis_*`) from the
+        orbax store; returns {component: params} for those present."""
+        if not self._ckpt_dir:
+            return {}
+        from labelany3d_tpu.models.checkpoints import load_params
+
+        found = {}
+        for comp, name in self.CKPT_NAMES.items():
+            p = load_params(self._ckpt_dir, name)
+            if p is not None:
+                found[comp] = p
+        return found
+
     def init_params(self, key=None) -> dict:
         c = self.cfg
         key = key if key is not None else jax.random.PRNGKey(self._seed)
@@ -108,14 +155,38 @@ class TrellisPipeline:
         feats = jnp.zeros((1, n, c.slat.latent_channels))
         coords = jnp.zeros((1, n, 3), jnp.int32)
         valid = jnp.ones((1, n), bool)
-        self.params = {
-            "cond": self.cond_model.init(ks[0], img)["params"],
-            "ss": self.ss_model.init(ks[1], latent, t, cond_tokens)["params"],
-            "ss_dec": self.ss_decoder.init(ks[2], latent)["params"],
-            "slat": self.slat_model.init(ks[3], feats, coords, valid, t, cond_tokens)["params"],
-            "gs": self.gs_decoder.init(ks[4], feats[0], coords[0], valid[0])["params"],
-            "mesh": self.mesh_decoder.init(ks[5], feats[0], coords[0], valid[0])["params"],
+        converted = self._load_converted()
+        inits = {
+            "cond": lambda: self.cond_model.init(ks[0], img)["params"],
+            "ss": lambda: self.ss_model.init(ks[1], latent, t, cond_tokens)["params"],
+            "ss_dec": lambda: self.ss_decoder.init(ks[2], latent)["params"],
+            "slat": lambda: self.slat_model.init(
+                ks[3], feats, coords, valid, t, cond_tokens)["params"],
+            "gs": lambda: self.gs_decoder.init(
+                ks[4], feats[0], coords[0], valid[0])["params"],
+            "mesh": lambda: self.mesh_decoder.init(
+                ks[5], feats[0], coords[0], valid[0])["params"],
         }
+        missing = [k for k in inits if k not in converted]
+        if missing and self._ckpt_dir:
+            from labelany3d_tpu.utils.logging import warn_once
+
+            warn_once(
+                "trellis_partial_ckpt",
+                f"TRELLIS components {missing} not found under "
+                f"{self._ckpt_dir} — running those with random weights "
+                "(convert with models/convert_cli.py trellis_*)",
+            )
+        elif missing and len(missing) == len(inits):
+            from labelany3d_tpu.utils.logging import warn_once
+
+            warn_once(
+                "trellis_random",
+                "TRELLIS runs with random-initialized weights (no converted "
+                "checkpoint dir passed) — generated meshes are not "
+                "meaningful; see docs/WEIGHTS.md",
+            )
+        self.params = {k: converted.get(k) or fn() for k, fn in inits.items()}
         return self.params
 
     # -- stages -----------------------------------------------------------
@@ -123,7 +194,7 @@ class TrellisPipeline:
         """Alpha-crop to the object bbox, pad square, resize to cond_size.
 
         Parity: `trellis_image_to_3d.py:85-119` (alpha-guided crop +
-        518^2 resize; background to gray is implicit via alpha-mult here).
+        518^2 resize; background to black via alpha-mult like :117-118).
         An alpha-less input goes through `segmenter.remove` when one is
         passed (the reference's rembg u2net fallback, :103-105 — e.g.
         `models/saliency.py::RembgSegmenter`).
@@ -154,13 +225,19 @@ class TrellisPipeline:
         return jnp.asarray(out, jnp.float32) / 255.0
 
     def get_cond(self, image: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """(cond_tokens, uncond_tokens); uncond = zeros (CFG null cond,
-        parity with :120-162)."""
-        fn = self._jitted(
-            "cond",
-            lambda p, im: self.cond_model.apply({"params": p}, im[None])["tokens"],
-        )
-        tokens = fn(self.params["cond"], image)
+        """(cond_tokens, uncond_tokens); tokens = non-affine layer-normed
+        DINOv2 x_prenorm (cls + registers + patches), ImageNet-normalized
+        input — parity with `encode_image` (:131-147); uncond = zeros."""
+
+        def fn(p, im):
+            x = (im[None] - jnp.asarray(_IMAGENET_MEAN)) / jnp.asarray(_IMAGENET_STD)
+            feats = self.cond_model.apply({"params": p}, x)["all_prenorm"]
+            f32 = feats.astype(jnp.float32)
+            mu = f32.mean(axis=-1, keepdims=True)
+            var = f32.var(axis=-1, keepdims=True)
+            return (f32 - mu) * jax.lax.rsqrt(var + 1e-5)
+
+        tokens = self._jitted("cond", fn)(self.params["cond"], image)
         return tokens, jnp.zeros_like(tokens)
 
     def sample_sparse_structure(self, cond, uncond, key):
@@ -171,7 +248,8 @@ class TrellisPipeline:
             noise = jax.random.normal(key, (1, r3, c.structure.latent_channels))
 
             def model_fn(x, t, tok):
-                return self.ss_model.apply({"params": p_ss}, x, t, tok)
+                # Models take 1000 * t (FlowEulerSampler._inference_model).
+                return self.ss_model.apply({"params": p_ss}, x, 1000.0 * t, tok)
 
             vel = cfg_velocity(model_fn, cond, uncond, c.ss_sampler.cfg_strength)
             latent = flow_euler_sample(vel, noise, c.ss_sampler)
@@ -189,10 +267,16 @@ class TrellisPipeline:
             noise = jax.random.normal(key, (1, n, c.slat.latent_channels))
 
             def model_fn(x, t, tok):
-                return self.slat_model.apply({"params": p}, x, coords, valid, t, tok)
+                return self.slat_model.apply(
+                    {"params": p}, x, coords, valid, 1000.0 * t, tok)
 
             vel = cfg_velocity(model_fn, cond, uncond, c.slat_sampler.cfg_strength)
-            return flow_euler_sample(vel, noise, c.slat_sampler)
+            slat = flow_euler_sample(vel, noise, c.slat_sampler)
+            # De-normalize with the released pipeline's slat statistics
+            # (`trellis_image_to_3d.py` sample_slat std/mean).
+            std = jnp.asarray(c.slat_std, jnp.float32)
+            mean = jnp.asarray(c.slat_mean, jnp.float32)
+            return slat * std + mean
 
         fn = self._jitted("slat", program)
         return fn(self.params["slat"], coords, valid, cond, uncond, key)
@@ -207,37 +291,36 @@ class TrellisPipeline:
         )
         return fn(self.params["gs"], self.params["mesh"], slat, coords, valid)
 
-    def to_glb_mesh(self, gs, sdf, bake: str = "texture",
+    def to_glb_mesh(self, gs, mesh_out, bake: str = "texture",
                     texture_size: int = 256) -> Mesh:
-        """Surface extraction + color bake from the Gaussians.
+        """Surface + color bake; role parity with `postprocessing_utils.
+        to_glb` (:399-444).
 
-        Role parity with `postprocessing_utils.to_glb` (:399-444).
-        bake='texture' is the reference's textured-GLB scheme (UV atlas +
-        multi-view splat bake -> TEXCOORD_0 + baseColorTexture in the GLB);
-        bake='render' projects multi-view splat renders onto vertices only
-        (UV-free); bake='knn' is the cheap nearest-gaussian transfer.
+        The surface comes from the FlexiCubes feature field (marching
+        tetrahedra over active cells). bake='texture' adds the reference's
+        textured-GLB scheme (UV atlas + multi-view splat bake ->
+        TEXCOORD_0 + baseColorTexture); bake='render' projects multi-view
+        splat renders onto vertices; bake='vertex' keeps the mesh
+        decoder's own vertex colors (no Gaussian render).
         """
-        from labelany3d_tpu.ops.marching_cubes import marching_cubes_mesh
-
-        verts, faces = marching_cubes_mesh(np.asarray(sdf), iso=0.0)
-        g = self.cfg.mesh.grid_size
-        verts_obj = verts / g  # [0, 1]^3 object frame
-        mesh = Mesh(vertices=verts_obj.astype(np.float32), faces=faces)
+        feats, coords, valid = mesh_out
+        res = self.cfg.dec_mesh.resolution * 4
+        verts, faces, vcols = flexicubes_to_mesh(
+            np.asarray(feats), np.asarray(coords), np.asarray(valid), res)
+        # Object frame [0,1]^3 for the bake (Gaussian means live there).
+        mesh = Mesh(vertices=(verts + 0.5).astype(np.float32), faces=faces)
         ok = np.asarray(gs.valid) & (np.asarray(gs.opacities) > 0.01)
-        if ok.any() and len(verts_obj):
+        if ok.any() and len(verts) and bake != "vertex":
             if bake == "texture":
                 from labelany3d_tpu.models.trellis.bake import bake_texture
 
                 mesh = bake_texture(mesh, gs, texture_size=texture_size)
-            elif bake == "render":
+            else:
                 from labelany3d_tpu.models.trellis.bake import bake_vertex_colors
 
                 mesh.colors = bake_vertex_colors(mesh, gs)
-            else:
-                m = np.asarray(gs.means)[ok]
-                c = np.asarray(gs.colors)[ok]
-                d2 = ((verts_obj[:, None, :] - m[None, :3000, :]) ** 2).sum(-1)
-                mesh.colors = c[:3000][np.argmin(d2, axis=1)].astype(np.float32)
+        else:
+            mesh.colors = vcols
         # Center to [-0.5, 0.5] like generative reconstructors' outputs.
         mesh.vertices = mesh.vertices - 0.5
         return mesh
@@ -252,9 +335,10 @@ class TrellisPipeline:
         cond, uncond = self.get_cond(image)
         coords, valid = self.sample_sparse_structure(cond, uncond, k1)
         slat = self.sample_slat(coords, valid, cond, uncond, k2)
-        gs, sdf = self.decode(slat, coords, valid)
-        mesh = self.to_glb_mesh(gs, sdf)
-        return {"mesh": mesh, "gaussians": gs, "coords": coords, "valid": valid, "sdf": sdf}
+        gs, mesh_out = self.decode(slat, coords, valid)
+        mesh = self.to_glb_mesh(gs, mesh_out)
+        return {"mesh": mesh, "gaussians": gs, "coords": coords, "valid": valid,
+                "mesh_features": mesh_out}
 
     # Reconstruction-backend protocol (pipeline stage 6).
     def reconstruct(self, crop_rgba: np.ndarray, label: str = "") -> Mesh:

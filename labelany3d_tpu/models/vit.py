@@ -270,11 +270,16 @@ class ViT(nn.Module):
                 h = final_norm(x[:, :n_real]) if cfg.norm_hiddens else x[:, :n_real]
                 hiddens.append(h[:, n_prefix:])
 
-        x = final_norm(x[:, :n_real])
+        x_prenorm = x[:, :n_real]
+        x = final_norm(x_prenorm)
         out = {
             "tokens": x[:, n_prefix:].astype(cfg.dtype),
             "grid": (gh, gw),
             "hiddens": hiddens,
+            # Full pre-final-norm sequence (cls + registers + patches) —
+            # DINOv2 `is_training=True` x_prenorm; TRELLIS conditions on
+            # layer_norm(x_prenorm) (`trellis_image_to_3d.py:145-147`).
+            "all_prenorm": x_prenorm.astype(cfg.dtype),
         }
         if cfg.use_class_token:
             out["cls"] = x[:, 0].astype(cfg.dtype)

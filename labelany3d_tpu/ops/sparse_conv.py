@@ -105,3 +105,53 @@ def sparse_downsample(
     pooled = pooled_sorted[inv]
     out_valid = is_first[inv] & valid
     return pooled, coarse, out_valid
+
+
+def sparse_pool_pair(
+    features: jnp.ndarray,
+    coords: jnp.ndarray,
+    valid: jnp.ndarray,
+    factor: int,
+    grid_size: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Mean-pool voxels into parent cells, keeping the child->parent map.
+
+    The fixed-slot equivalent of TRELLIS `SparseDownsample` paired with
+    `SparseUpsample` (`modules/sparse/spatial.py:13-84`): parents are
+    ordered by ascending linear cell code (matching the reference's
+    `code.unique()` order), child slots record their parent index so the
+    paired upsample is a plain gather.
+
+    Returns (parent_feats (N, C), parent_coords (N, 3), parent_valid (N,),
+    child2parent (N,) int32). Parent slots beyond the number of occupied
+    cells are invalid.
+    """
+    n, c = features.shape
+    g = grid_size // factor
+    pc = coords // factor
+    code = ((pc[:, 0] * g + pc[:, 1]) * g + pc[:, 2]).astype(jnp.int32)
+    code = jnp.where(valid, code, jnp.int32(g * g * g))  # invalid -> sentinel
+    order = jnp.argsort(code)
+    sc = code[order]
+    is_first = jnp.concatenate([jnp.ones((1,), bool), sc[1:] != sc[:-1]])
+    pidx_sorted = jnp.cumsum(is_first) - 1  # parent slot per sorted child
+    child2parent = jnp.zeros((n,), jnp.int32).at[order].set(
+        pidx_sorted.astype(jnp.int32))
+
+    vf = jnp.where(valid[:, None], features, 0.0)
+    psum = jnp.zeros((n, c), features.dtype).at[child2parent].add(vf)
+    pcnt = jnp.zeros((n,), jnp.float32).at[child2parent].add(
+        valid.astype(jnp.float32))
+    parent_feats = psum / jnp.maximum(pcnt[:, None], 1.0)
+    parent_valid = pcnt > 0
+
+    parent_coords = jnp.zeros((n, 3), jnp.int32).at[child2parent].set(
+        pc.astype(jnp.int32))
+    parent_coords = jnp.where(parent_valid[:, None], parent_coords, 0)
+    return parent_feats, parent_coords, parent_valid, child2parent
+
+
+def sparse_unpool(parent_feats: jnp.ndarray, child2parent: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor unpool: each child gathers its parent's feature
+    (TRELLIS `SparseUpsample` parity)."""
+    return parent_feats[child2parent]

@@ -318,16 +318,25 @@ def register_default_backends() -> None:
             from labelany3d_tpu.models.trellis import TrellisPipeline, TrellisPipelineConfig
 
             cfg = TrellisPipelineConfig.tiny_test() if kw.get("tiny") else None
-            return TrellisPipeline(cfg)
+            return TrellisPipeline(cfg, ckpt_dir=kw.get("ckpt_dir"))
         if backend == "hunyuan3d":
             from labelany3d_tpu.models.diffusion import Zero123NovelView
             from labelany3d_tpu.models.svrm import SVRMConfig, SVRMReconstruction
 
             tiny = bool(kw.get("tiny"))
             nv = Zero123NovelView(tiny=tiny, image_size=64 if tiny else 256)
+            params = None
+            if kw.get("ckpt_dir"):
+                from labelany3d_tpu.models.checkpoints import load_params
+
+                params = load_params(kw["ckpt_dir"], "svrm")
+                z123 = load_params(kw["ckpt_dir"], "zero123")
+                if z123 is not None:
+                    nv.set_params(z123)
             return SVRMReconstruction(
                 novel_views=nv,
                 cfg=SVRMConfig.tiny_test() if tiny else SVRMConfig(),
+                params=params,
             )
         if backend == "hunyuan3d_carve":
             from labelany3d_tpu.models.diffusion import Zero123NovelView

@@ -156,7 +156,9 @@ def main(argv=None) -> int:
 
     def run_reconstruction():
         # Parity: run.obj_rec 'trellis' | 'hunyuan3d' (+ 'silhouette' here)
-        be = _backend("reconstruction", backend=str(cfg_node.run.get("obj_rec", "silhouette")))
+        be = _backend("reconstruction",
+                      backend=str(cfg_node.run.get("obj_rec", "silhouette")),
+                      ckpt_dir=cfg_node.models.get("ckpt_dir"))
         n = ReconstructionStage(cfg, loader, args.save_dir, args.split,
                                 backend=be).run(args.start_index, args.end_index)
         print(f"[reconstruction] processed {n} images")

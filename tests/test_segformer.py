@@ -69,11 +69,37 @@ def test_segformer_foreground_filter():
 
 def test_ade20k_stuff_overrides_match_reference():
     """The reference's my_stuff/my_thing adjustments
-    (model_wrappers.py:91-119) are reflected in the name set."""
-    from labelany3d_tpu.models.segformer import ADE20K_STUFF_NAMES
+    (model_wrappers.py:91-119) survive name normalization: both the
+    detectron2 comma forms and the HF short names resolve correctly."""
+    from labelany3d_tpu.models.segformer import ADE20K_STUFF_NAMES, _norm_label
 
     for demoted in ("window ", "door", "curtain", "mirror", "fence",
-                    "stairs", "step, stair"):
-        assert demoted in ADE20K_STUFF_NAMES
+                    "stairs", "step, stair", "column, pillar",
+                    "screen door, screen",
+                    "bannister, banister, balustrade, balusters, handrail"):
+        assert _norm_label(demoted) in ADE20K_STUFF_NAMES, demoted
+    # HF short names of the same classes
+    for demoted_hf in ("windowpane", "railing", "screen door", "bannister"):
+        assert _norm_label(demoted_hf) in ADE20K_STUFF_NAMES, demoted_hf
     for promoted in ("plant", "tent", "crt screen", "cradle", "blanket, cover"):
-        assert promoted not in ADE20K_STUFF_NAMES
+        assert _norm_label(promoted) not in ADE20K_STUFF_NAMES, promoted
+
+
+def test_ade20k_id2label_thing_split_nontrivial():
+    """With the shipped ADE20K-150 id2label the filter must keep a real
+    thing/stuff split (the advisor's round-2 no-op regression)."""
+    from labelany3d_tpu.models.segformer import (
+        ADE20K_ID2LABEL,
+        thing_ids_from_id2label,
+    )
+
+    assert len(ADE20K_ID2LABEL) == 150
+    things = thing_ids_from_id2label(ADE20K_ID2LABEL)
+    assert 60 < len(things) < 150
+    names = {ADE20K_ID2LABEL[int(i)] for i in things}
+    # canonical things survive, canonical stuff doesn't
+    for t in ("person", "car", "chair", "bed ", "sofa", "plant", "tent"):
+        assert t in names, t
+    for s in ("wall", "sky", "floor", "road", "windowpane", "railing",
+              "stairs", "door"):
+        assert s not in names, s

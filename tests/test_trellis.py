@@ -7,12 +7,13 @@ import pytest
 
 from labelany3d_tpu.models.trellis import (
     DiTConfig,
-    DenseDiT3D,
     FlowSamplerConfig,
     SLatConfig,
     SLatFlowModel,
     SparseStructureConfig,
     SparseStructureFlowModel,
+    SSDecoderConfig,
+    StructureDecoder,
     TrellisPipeline,
     TrellisPipelineConfig,
     decode_occupancy,
@@ -32,10 +33,7 @@ def test_flow_euler_integrates_linear_field():
 
 
 def test_cfg_velocity_mixing():
-    calls = []
-
     def model(x, t, tok):
-        calls.append(tok)
         return jnp.full_like(x, float(tok[0, 0, 0]))
 
     cond = jnp.full((1, 1, 1), 2.0)
@@ -45,32 +43,47 @@ def test_cfg_velocity_mixing():
     np.testing.assert_allclose(np.asarray(v), 4.0)
 
 
-def test_dense_dit_shapes_and_zero_init():
-    cfg = DiTConfig.tiny_test()
-    model = DenseDiT3D(cfg, in_channels=4, out_channels=4)
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 4))
-    cond = jax.random.normal(jax.random.PRNGKey(1), (2, 5, cfg.cond_dim))
-    t = jnp.array([0.5, 0.1])
+def test_ss_flow_shapes_and_zero_init():
+    cfg = SparseStructureConfig.tiny_test()
+    model = SparseStructureFlowModel(cfg)
+    r3 = cfg.latent_res**3
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, r3, cfg.latent_channels))
+    cond = jax.random.normal(jax.random.PRNGKey(1), (2, 5, cfg.dit.cond_dim))
+    t = jnp.array([500.0, 100.0])
     params = model.init(jax.random.PRNGKey(2), x, t, cond)
     out = model.apply(params, x, t, cond)
-    assert out.shape == (2, 64, 4)
+    assert out.shape == (2, r3, cfg.latent_channels)
     # adaLN-zero + zero-init output head -> the initial velocity is 0.
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
 
 
-def test_sparse_structure_and_occupancy():
-    cfg = SparseStructureConfig.tiny_test()
-    from labelany3d_tpu.models.trellis.sparse_structure import StructureDecoder
+def test_ss_flow_patchify_roundtrip():
+    from labelany3d_tpu.models.trellis.sparse_structure import (
+        patchify_tokens,
+        unpatchify_tokens,
+    )
 
-    dec = StructureDecoder(cfg)
-    latent = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.latent_res**3, cfg.latent_channels))
+    r, p, c = 8, 2, 4
+    latent = jax.random.normal(jax.random.PRNGKey(0), (2, r**3, c))
+    tokens = patchify_tokens(latent, r, p)
+    assert tokens.shape == (2, (r // p) ** 3, c * p**3)
+    back = unpatchify_tokens(tokens, r, p, c)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(latent), atol=1e-6)
+
+
+def test_sparse_structure_and_occupancy():
+    cfg = SSDecoderConfig.tiny_test()
+    r = 4
+    dec = StructureDecoder(cfg, latent_res=r)
+    latent = jax.random.normal(jax.random.PRNGKey(0), (1, r**3, cfg.latent_channels))
     params = dec.init(jax.random.PRNGKey(1), latent)
     logits = dec.apply(params, latent)
-    assert logits.shape == (1, cfg.grid_size, cfg.grid_size, cfg.grid_size)
+    g = r * 2 ** (len(cfg.channels) - 1)
+    assert logits.shape == (1, g, g, g)
 
     coords, valid = decode_occupancy(logits, max_voxels=64, threshold=-1e9)
     assert coords.shape == (1, 64, 3) and bool(valid.all())
-    assert int(coords.max()) < cfg.grid_size
+    assert int(coords.max()) < g
     # top-k actually picks the highest-logit cells
     flat = np.asarray(logits).reshape(-1)
     top_ref = np.sort(flat)[-64:]
@@ -85,7 +98,7 @@ def test_slat_flow_model_masks_invalid():
     feats = jax.random.normal(jax.random.PRNGKey(0), (1, n, cfg.latent_channels))
     coords = jax.random.randint(jax.random.PRNGKey(1), (1, n, 3), 0, cfg.grid_size)
     valid = jnp.arange(n)[None, :] < 20
-    t = jnp.array([0.3])
+    t = jnp.array([300.0])
     cond = jax.random.normal(jax.random.PRNGKey(2), (1, 4, cfg.dit.cond_dim))
     params = model.init(jax.random.PRNGKey(3), feats, coords, valid, t, cond)
     out = model.apply(params, feats, coords, valid, t, cond)
@@ -94,7 +107,7 @@ def test_slat_flow_model_masks_invalid():
 
 
 def test_slat_flow_batched_matches_per_element():
-    """Batched SparseDiT with DIFFERENT per-element slot layouts must equal
+    """Batched SLat UNet with DIFFERENT per-element slot layouts must equal
     running each element alone (guards the vmapped coords/valid path)."""
     cfg = SLatConfig.tiny_test()
     model = SLatFlowModel(cfg)
@@ -103,7 +116,7 @@ def test_slat_flow_batched_matches_per_element():
     feats = jax.random.normal(k[0], (2, n, cfg.latent_channels))
     coords = jax.random.randint(k[1], (2, n, 3), 0, cfg.grid_size)
     valid = jnp.stack([jnp.arange(n) < 20, jnp.arange(n) < 27])
-    t = jnp.array([0.3, 0.7])
+    t = jnp.array([300.0, 700.0])
     cond = jax.random.normal(k[2], (2, 4, cfg.dit.cond_dim))
     params = model.init(k[3], feats, coords, valid, t, cond)
     batched = np.asarray(model.apply(params, feats, coords, valid, t, cond))
@@ -111,6 +124,30 @@ def test_slat_flow_batched_matches_per_element():
         single = np.asarray(model.apply(
             params, feats[b:b+1], coords[b:b+1], valid[b:b+1], t[b:b+1], cond[b:b+1]))
         np.testing.assert_allclose(batched[b], single[0], atol=2e-5, rtol=1e-4)
+
+
+def test_sparse_pool_pair_roundtrip():
+    from labelany3d_tpu.ops.sparse_conv import sparse_pool_pair, sparse_unpool
+
+    rng = np.random.default_rng(0)
+    n, g = 24, 8
+    coords = jnp.asarray(rng.integers(0, g, (n, 3)), jnp.int32)
+    feats = jnp.asarray(rng.standard_normal((n, 5)), jnp.float32)
+    valid = jnp.asarray(rng.random(n) < 0.8)
+    pf, pc, pv, c2p = sparse_pool_pair(feats, coords, valid, 2, g)
+    # Each valid child's parent cell coords match coords//2.
+    pcn, c2pn = np.asarray(pc), np.asarray(c2p)
+    for i in range(n):
+        if bool(valid[i]):
+            np.testing.assert_array_equal(pcn[c2pn[i]], np.asarray(coords[i]) // 2)
+    # Mean pooling: average of children in the same cell.
+    up = sparse_unpool(pf, c2p)
+    for i in range(n):
+        if bool(valid[i]):
+            cell = np.asarray(coords) // 2
+            mask = (cell == cell[i]).all(1) & np.asarray(valid)
+            np.testing.assert_allclose(
+                np.asarray(up[i]), np.asarray(feats)[mask].mean(0), atol=1e-6)
 
 
 @pytest.mark.slow
