@@ -333,6 +333,14 @@ def test_nn_argmax_tiled_matches_dense(rng):
     sim = q @ b.T
     np.testing.assert_array_equal(np.asarray(idx), sim.argmax(1))
     np.testing.assert_allclose(np.asarray(best), sim.max(1), rtol=1e-6)
+    # Both reduction levels live: inner sub-tiles within a grid step AND
+    # the cross-grid-step running update (n > block_n * inner_tiles).
+    idx2, best2 = nn_argmax_tiled(
+        jnp.asarray(q), jnp.asarray(b), block_s=32, block_n=64,
+        inner_tiles=2, precision="f32", interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(idx2), sim.argmax(1))
+    np.testing.assert_allclose(np.asarray(best2), sim.max(1), rtol=1e-6)
 
 
 def test_nn_argmax_tiled_bf16x3_accuracy(rng):
