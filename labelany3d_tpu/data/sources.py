@@ -49,6 +49,8 @@ class DirectoryLoader:
 class CoconutInstanceProvider:
     """Instances from COCONUT annotations (the labeled COCO path)."""
 
+    needs_image = False  # stages skip the input-PNG decode when False
+
     def __init__(self, loader):
         self.loader = loader
 
@@ -59,6 +61,8 @@ class CoconutInstanceProvider:
 
 class WildInstanceProvider:
     """Instances from the wild-mode segmentation stack (needs the image)."""
+
+    needs_image = True
 
     def __init__(self, source: WildInstanceSource | None = None):
         self.source = source or default_wild_source()

@@ -47,12 +47,56 @@ class BoxStage:
         name = scene_dir_name(image_info["file_name"])
         return SceneDir(os.path.join(self.save_dir, self.split, name)).ensure()
 
+    def _prep(self, item):
+        """Per-scene host prep (PNG/RLE decode, depth read, bucket resizes):
+        runs on prefetch workers so it overlaps the device flushes."""
+        info, scene = item
+        cfg = self.cfg
+        image = None
+        if getattr(self.provider, "needs_image", True) and scene.input_image.exists():
+            from PIL import Image
+
+            image = np.asarray(Image.open(scene.input_image).convert("RGB"))
+        inst = self.provider.instances(info, image)
+        if len(inst) == 0:
+            return None
+        depth = scene.read_depth()
+        cam = scene.read_cam_params()
+        K = np.asarray(cam["K"], np.float32)
+        oh, ow = depth.shape
+        # Resolution bucket for the device program.
+        bh, bw = cfg.image_height, cfg.image_width
+        depth_b = resize_nearest(depth, bh, bw).astype(np.float32)
+        masks_b = resize_nearest(inst.masks, bh, bw)
+        K_b = K.copy()
+        K_b[0] *= bw / ow
+        K_b[1] *= bh / oh
+        masks_p, kept = pad_instances(masks_b, cfg.max_instances)
+        return (scene, inst.labels, xywh_to_xyxy(inst.bboxes), depth_b, K_b,
+                masks_p, kept)
+
     def run(self, start_index: int, end_index: int) -> int:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from labelany3d_tpu.data.prefetch import Prefetcher
+
         cfg = self.cfg
         pending = []  # (scene, labels, bboxes_xyxy, depth, K, masks_padded, kept)
         done = 0
+        writes = []
 
-        def flush():
+        def write_one(scene, bbox_list, bboxes_xyxy):
+            scene.write_bbox3d(bbox_list)
+            scene.write_bboxes2d(bboxes_xyxy)
+            try:  # overlay parity (draw_cube, stage-7 artifact)
+                from labelany3d_tpu.utils.visualization import draw_cube_overlay
+
+                if scene.input_image.exists():
+                    draw_cube_overlay(scene)
+            except Exception as e:
+                print(f"overlay failed: {e}")
+
+        def flush(pool):
             nonlocal done
             if not pending:
                 return
@@ -77,47 +121,30 @@ class BoxStage:
                             "bbox3D_cam": boxes.vertices[row, i].tolist(),
                         }
                     )
-                scene.write_bbox3d(bbox_list)
-                scene.write_bboxes2d(bboxes_xyxy)
-                try:  # overlay parity (draw_cube, stage-7 artifact)
-                    from labelany3d_tpu.utils.visualization import draw_cube_overlay
-
-                    if scene.input_image.exists():
-                        draw_cube_overlay(scene)
-                except Exception as e:
-                    print(f"overlay failed: {e}")
+                # Write-behind: JSON + overlay render happen off the
+                # critical path (they only depend on this scene's results).
+                writes.append(pool.submit(write_one, scene, bbox_list, bboxes_xyxy))
                 done += 1
             pending.clear()
 
+        todo = []
         for idx in range(start_index, end_index):
             info = self.loader.get_image_by_index(idx)
             scene = self._scene(info)
             if scene.boxes_done() or not scene.depth_done():
                 continue
-            image = None
-            if scene.input_image.exists():
-                from PIL import Image
+            todo.append((info, scene))
 
-                image = np.asarray(Image.open(scene.input_image).convert("RGB"))
-            inst = self.provider.instances(info, image)
-            if len(inst) == 0:
-                continue
-            depth = scene.read_depth()
-            cam = scene.read_cam_params()
-            K = np.asarray(cam["K"], np.float32)
-            oh, ow = depth.shape
-            # Resolution bucket for the device program.
-            bh, bw = cfg.image_height, cfg.image_width
-            depth_b = resize_nearest(depth, bh, bw).astype(np.float32)
-            masks_b = resize_nearest(inst.masks, bh, bw)
-            K_b = K.copy()
-            K_b[0] *= bw / ow
-            K_b[1] *= bh / oh
-            masks_p, kept = pad_instances(masks_b, cfg.max_instances)
-            pending.append(
-                (scene, inst.labels, xywh_to_xyxy(inst.bboxes), depth_b, K_b, masks_p, kept)
-            )
-            if len(pending) == cfg.batch_size:
-                flush()
-        flush()
+        prepped = Prefetcher(todo, self._prep,
+                             depth=2 * cfg.batch_size, num_workers=4)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for item in prepped:
+                if item is None:
+                    continue
+                pending.append(item)
+                if len(pending) == cfg.batch_size:
+                    flush(pool)
+            flush(pool)
+            for w in writes:
+                w.result()  # surface write errors
         return done

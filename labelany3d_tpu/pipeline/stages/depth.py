@@ -57,19 +57,21 @@ class DepthStage:
         (the reference processes per-image native resolution; fixed buckets
         are the batched TPU equivalent).
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         cfg = self.cfg
-        pending: dict[tuple, list[tuple[dict, SceneDir, np.ndarray]]] = {}
+        pending: dict[tuple, list[tuple[dict, SceneDir, np.ndarray, np.ndarray]]] = {}
         done = 0
+        writes = []
+        io_pool = ThreadPoolExecutor(max_workers=2)
 
         def flush(bucket):
             nonlocal done
             group = pending.get(bucket, [])
             if not group:
                 return
-            bh, bw = bucket
-            batch = np.stack(
-                [resize_image(img, bh, bw) for _, _, img in group]
-            ).astype(np.float32) / 255.0
+            # Bucket resizes already happened on the prefetch workers.
+            batch = np.stack([r for _, _, _, r in group]).astype(np.float32) / 255.0
             out = self.backend.infer(batch)
             self._key, sub = jax.random.split(self._key)
             aligned = depth_fusion(
@@ -77,11 +79,13 @@ class DepthStage:
             )
             aligned = np.asarray(aligned)
             K_bucket = np.asarray(out["K_pixels"])
-            for row, (info, scene, img) in enumerate(group):
+            bh, bw = bucket
+
+            def write_one(scene, img, row_depth, K_row):
                 oh, ow = img.shape[:2]
-                depth_full = resize_nearest(aligned[row], oh, ow)
+                depth_full = resize_nearest(row_depth, oh, ow)
                 sy, sx = oh / bh, ow / bw
-                K = K_bucket[row].copy()
+                K = K_row.copy()
                 K[0] *= sx
                 K[1] *= sy
                 scene.write_depth(depth_full)
@@ -107,6 +111,12 @@ class DepthStage:
                         pts_map, img, depth_full, valid
                     )
                     save_ply_mesh(scene.root / "depth_scene_no_edge.ply", mv, mf, mc)
+
+            for row, (info, scene, img, _r) in enumerate(group):
+                # Write-behind: artifact IO (npy + PNG encode + optional
+                # PLYs) overlaps the next batch's device work.
+                writes.append(io_pool.submit(
+                    write_one, scene, img, aligned[row], K_bucket[row]))
                 done += 1
             group.clear()
 
@@ -123,15 +133,24 @@ class DepthStage:
                 continue
             todo.append((info, scene))
 
-        loaded = Prefetcher(
-            todo, lambda item: (item[0], item[1], self.image_source.get(item[0])),
-            depth=2 * cfg.batch_size, num_workers=4,
-        )
-        for info, scene, img in loaded:
+        def load(item):
+            info, scene = item
+            img = self.image_source.get(info)
             bucket = cfg.pick_bucket(*img.shape[:2])
-            pending.setdefault(bucket, []).append((info, scene, img))
-            if len(pending[bucket]) == cfg.batch_size:
+            # Bucket resize on the worker: off the device-feed critical path.
+            resized = resize_image(img, *bucket)
+            return info, scene, img, bucket, resized
+
+        loaded = Prefetcher(todo, load, depth=2 * cfg.batch_size, num_workers=4)
+        try:
+            for info, scene, img, bucket, resized in loaded:
+                pending.setdefault(bucket, []).append((info, scene, img, resized))
+                if len(pending[bucket]) == cfg.batch_size:
+                    flush(bucket)
+            for bucket in list(pending):
                 flush(bucket)
-        for bucket in list(pending):
-            flush(bucket)
+            for w in writes:
+                w.result()  # surface write errors
+        finally:
+            io_pool.shutdown(wait=True)
         return done
