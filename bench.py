@@ -69,6 +69,38 @@ def _enable_compile_cache():
 #   re-measure: 0.687 im/s max. Pinned at the best of these.
 PINNED_HOST_IPS = 0.751
 
+# Config-5 host divisor: the same synthetic 8-image shard as
+# `bench_e2e_fast` run as a reference-shaped single-image host loop
+# (sklearn RANSAC align + numpy backprojection + PCA box fit + the same
+# artifact IO: depth npy, cam json, input PNG, bbox/export json) — i.e.
+# everything in the shard EXCEPT the neural depth forwards, which on the
+# reference's A40 only add cost, so the ratio is conservative. Measured
+# with `--rebaseline-e2e` on a quiet machine (2026-08-17: 0.52 im/s).
+PINNED_HOST_E2E_IPS = 0.52
+
+
+def _tunnel_probe(iters: int = 10) -> float:
+    """Milliseconds per tiny chained matmul step — a fixed-cost canary for
+    tunnel health. Recorded before/after the benches so a BENCH record can
+    be read against tunnel weather (PERF.md: throughput intermittently
+    collapses ~100x for a stretch)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(x):
+        return x @ x + 1.0
+
+    x = jnp.ones((256, 256), jnp.float32)
+    x = step(x)
+    float(x[0, 0])  # force compile + load
+    x = jnp.ones((256, 256), jnp.float32)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = step(x)
+    float(x[0, 0])
+    return (time.perf_counter() - t0) / iters * 1000.0
+
 
 def make_batch(rng):
     """Synthetic scene batch: planar background + I box objects per image."""
@@ -331,14 +363,126 @@ def bench_e2e_fast() -> dict:
         # and the boxfit program so the timed shard measures steady state.
         DepthStage(cfg, backend, loader, source, tmp + "/warm", "val").run(0, min(4, n_images))
         BoxStage(cfg, loader, tmp + "/warm", "val").run(0, min(4, n_images))
+
+        # Per-phase breakdown (round-2 verdict: the shard was timed as one
+        # block; nothing said where the wall clock went).
         t0 = time.perf_counter()
         DepthStage(cfg, backend, loader, source, tmp + "/run", "val").run(0, n_images)
+        t1 = time.perf_counter()
         BoxStage(cfg, loader, tmp + "/run", "val").run(0, n_images)
+        t2 = time.perf_counter()
         ExportStage(tmp + "/run", "val").run()
+        t3 = time.perf_counter()
+        dt = t3 - t0
+
+        # Depth forward alone (device roofline of the same shard): the
+        # backend program over the same batches, accumulator-chained.
+        import jax
+        import jax.numpy as jnp
+
+        batch = np.stack([img] * cfg.batch_size).astype(np.float32) / 255.0
+        xb = jnp.asarray(batch)
+        out = backend.infer(xb)
+        acc = out["relative_depth"].sum()
+        float(acc)  # warm
+        tf = time.perf_counter()
+        acc = jnp.float32(0.0)
+        for _ in range(n_images // cfg.batch_size):
+            out = backend.infer(xb)
+            acc = acc + out["relative_depth"].sum()
+        float(acc)
+        depth_fwd_s = time.perf_counter() - tf
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "e2e_fast_images_per_sec": round(n_images / dt, 2),
+        "e2e_vs_host": round((n_images / dt) / PINNED_HOST_E2E_IPS, 2),
+        "e2e_depth_stage_s": round(t1 - t0, 2),
+        "e2e_box_stage_s": round(t2 - t1, 2),
+        "e2e_export_s": round(t3 - t2, 2),
+        "e2e_depth_forward_s": round(depth_fwd_s, 2),
+        "e2e_host_overhead_s": round((t1 - t0) - depth_fwd_s, 2),
+    }
+
+
+def bench_host_e2e() -> float:
+    """Measured config-5 host divisor (see PINNED_HOST_E2E_IPS): the same
+    synthetic shard as `bench_e2e_fast` as a single-image host loop with
+    the reference's stage structure and artifact IO, minus the neural depth
+    forwards (which only add cost on the reference side)."""
+    import io as _io
+    import json as _json
+    import tempfile
+    import shutil
+
+    from PIL import Image
+    from sklearn.decomposition import PCA
+    from sklearn.linear_model import LinearRegression, RANSACRegressor
+
+    from labelany3d_tpu.data.rle import mask_to_rle, rle_decode, rle_to_string
+    from labelany3d_tpu.models.fakes import FakeScene
+
+    n_images, size = 8, 512
+    scene = FakeScene(width=size, height=size, fx=500.0, fy=500.0)
+    img, depth_gt, masks, _ = scene.make(
+        [{"z": 4.0, "rect": (80, 90, 230, 260)}, {"z": 6.0, "rect": (280, 120, 460, 380)}]
+    )
+    rng = np.random.default_rng(0)
+    rel = depth_gt / 2.0 + rng.normal(0, 0.01, depth_gt.shape).astype(np.float32)
+    rles = [rle_to_string(mask_to_rle(m)).decode() for m in masks]
+    K = scene.intrinsics()
+
+    tmp = tempfile.mkdtemp(prefix="la3d_hoste2e_")
+    try:
+        t0 = time.perf_counter()
+        all_boxes = []
+        for b in range(n_images):
+            # stage 1: align + artifacts (depth.py:52-92,156-167 shape)
+            # residual_threshold pinned: FakeScene's planar background makes
+            # MAD(y) degenerate (constant-depth majority).
+            reg = RANSACRegressor(estimator=LinearRegression(fit_intercept=False),
+                                  min_samples=0.2, residual_threshold=0.05)
+            valid = depth_gt < 400.0
+            reg.fit(rel[valid].reshape(-1, 1), depth_gt[valid].reshape(-1, 1))
+            depth = np.full_like(rel, 10000.0)
+            depth[valid] = reg.predict(rel[valid].reshape(-1, 1)).ravel()
+            np.save(f"{tmp}/depth_{b}.npy", depth)
+            with open(f"{tmp}/cam_{b}.json", "w") as f:
+                _json.dump({"K": K.tolist()}, f)
+            buf = _io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            # stage 7-lite: read back, decode, backproject, fit, write
+            depth = np.load(f"{tmp}/depth_{b}.npy")
+            Kinv = np.linalg.inv(K)
+            xs, ys = np.meshgrid(np.arange(size), np.arange(size))
+            coords = np.stack([xs, ys, np.ones_like(xs)], -1).astype(np.float32)
+            pts = depth[..., None] * (coords @ Kinv.T)
+            boxes = []
+            for r in rles:
+                m = rle_decode({"size": [size, size], "counts": r})
+                obj = pts[m.astype(bool)]
+                if obj.shape[0] > 500:
+                    obj = obj[rng.integers(0, obj.shape[0], 500)]
+                pca = PCA(2)
+                pca.fit(obj[:, [0, 2]])
+                v = pca.components_[0]
+                yaw = np.arctan2(v[1], v[0])
+                cth, sth = np.cos(yaw), np.sin(yaw)
+                R = np.array([[cth, 0, sth], [0, 1, 0], [-sth, 0, cth]])
+                rp = (R @ obj.T).T
+                mins, maxs = rp.min(0), rp.max(0)
+                boxes.append({"center_cam": ((mins + maxs) / 2).tolist(),
+                              "dimensions": (maxs - mins).tolist()})
+            with open(f"{tmp}/bbox_{b}.json", "w") as f:
+                _json.dump(boxes, f)
+            all_boxes.append(boxes)
+        # stage 8: combine
+        with open(f"{tmp}/export.json", "w") as f:
+            _json.dump({"annotations": all_boxes}, f)
         dt = time.perf_counter() - t0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return {"e2e_fast_images_per_sec": round(n_images / dt, 2)}
+    return n_images / dt
 
 
 def bench_host(rel, metric, dmask, K, masks) -> float:
@@ -421,10 +565,20 @@ def main():
         print(json.dumps({"suggested_PINNED_HOST_IPS": round(host_ips, 3),
                           "current": PINNED_HOST_IPS}))
         return
+    if "--rebaseline-e2e" in sys.argv:
+        best = max(bench_host_e2e() for _ in range(3))
+        print(json.dumps({"suggested_PINNED_HOST_E2E_IPS": round(best, 3),
+                          "current": PINNED_HOST_E2E_IPS}))
+        return
 
     _enable_compile_cache()
     extra: dict = {}
     tpu_ips = 0.0
+    try:
+        with _Alarm(120):
+            extra["tunnel_probe_ms_pre"] = round(_tunnel_probe(), 2)
+    except Exception as e:
+        extra["tunnel_probe_ms_pre"] = f"{type(e).__name__}"[:40]
     try:
         with _Alarm(EXTRA_BUDGET_S):
             tpu_ips = bench_tpu(rel, metric, dmask, K, masks)
@@ -448,9 +602,22 @@ def main():
             continue
         try:
             with _Alarm(left):
+                t_sub = time.perf_counter()
                 extra.update(fn())
+                extra[f"{name}_window_s"] = round(time.perf_counter() - t_sub, 1)
         except Exception as e:  # a sub-bench failure must not kill the record
             extra[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        with _Alarm(60):
+            extra["tunnel_probe_ms_post"] = round(_tunnel_probe(), 2)
+            pre = extra.get("tunnel_probe_ms_pre")
+            vals = [v for v in (pre, extra["tunnel_probe_ms_post"])
+                    if isinstance(v, (int, float))]
+            # Self-explaining health flag: a quiet tunnel probes ~1-5 ms.
+            extra["tunnel_degraded"] = bool(vals and max(vals) > 25.0)
+    except Exception as e:
+        extra["tunnel_probe_ms_post"] = f"{type(e).__name__}"[:40]
+        extra["tunnel_degraded"] = True
     print(
         json.dumps(
             {
