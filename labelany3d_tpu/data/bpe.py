@@ -38,8 +38,12 @@ def _bytes_to_unicode() -> dict[int, str]:
 
 
 _WORD_PAT = re.compile(
+    # CLIP's pattern with \p{L}/\p{N} spelled in stdlib-re classes:
+    # letters = [^\W\d_]+, single digit = \d, punctuation = any run of
+    # non-space/non-letter/non-digit INCLUDING '_' (CLIP's [^\s\p{L}\p{N}]+
+    # treats underscore as punctuation; a plain [^\s\w]+ would drop it).
     r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[^\W\d_]+|\d|[^\s\w]+",
+    r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
     re.IGNORECASE,
 )
 

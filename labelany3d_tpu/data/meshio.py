@@ -180,12 +180,15 @@ def load_glb(path) -> Mesh:
         return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
 
     # Walk the default scene's node tree, accumulating transforms.
-    all_v, all_f, all_c, all_uv = [], [], [], []
-    texture = None
+    # Textures are tracked PER PRIMITIVE (keyed by material index): a
+    # multi-material GLB must not sample later primitives' vertex colors
+    # from the first primitive's atlas.
+    all_v, all_f, all_c, all_uv, all_mat = [], [], [], [], []
+    tex_cache: dict[int, np.ndarray | None] = {}
     vcount = 0
 
     def visit(node_idx: int, parent: np.ndarray):
-        nonlocal vcount, texture
+        nonlocal vcount
         node = gltf["nodes"][node_idx]
         m = parent @ _node_matrix(node)
         if "mesh" in node:
@@ -203,14 +206,16 @@ def load_glb(path) -> Mesh:
                 if "COLOR_0" in prim["attributes"]:
                     colors = _read_accessor(gltf, binary, prim["attributes"]["COLOR_0"])
                 uv = None
+                mat_idx = prim.get("material")
                 if "TEXCOORD_0" in prim["attributes"]:
                     uv = _read_accessor(gltf, binary, prim["attributes"]["TEXCOORD_0"])
-                    if texture is None:
-                        texture = _material_texture(prim)
+                    if mat_idx is not None and mat_idx not in tex_cache:
+                        tex_cache[mat_idx] = _material_texture(prim)
                 all_v.append(pos.astype(np.float32))
                 all_f.append(idx.astype(np.int64) + vcount)
                 all_c.append(colors)
                 all_uv.append(uv)
+                all_mat.append(mat_idx)
                 vcount += len(pos)
         for child in node.get("children", []):
             visit(child, m)
@@ -228,13 +233,40 @@ def load_glb(path) -> Mesh:
     uv = None
     if all(u is not None for u in all_uv) and all_uv:
         uv = np.concatenate(all_uv, axis=0).astype(np.float32)
-    if colors is None and uv is not None and texture is not None:
-        # Sample vertex colors from the texture so UV-unaware consumers
-        # (the registration renderer's vertex shading) keep appearance.
-        th, tw = texture.shape[:2]
-        ui = np.clip((uv[:, 0] % 1.0) * (tw - 1), 0, tw - 1).astype(np.int64)
-        vi = np.clip((uv[:, 1] % 1.0) * (th - 1), 0, th - 1).astype(np.int64)
-        colors = texture[vi, ui].astype(np.float32) / 255.0
+    # The merged (uv, texture) pair is only meaningful when every textured
+    # primitive references the SAME atlas; otherwise drop it and rely on
+    # per-primitive sampled vertex colors below.
+    tex_mats = {m for m, u in zip(all_mat, all_uv)
+                if u is not None and tex_cache.get(m) is not None}
+    texture = tex_cache[next(iter(tex_mats))] if len(tex_mats) == 1 else None
+    if texture is not None and uv is None:
+        texture = None
+
+    def _sample(tex, puv):
+        th, tw = tex.shape[:2]
+        ui = np.clip((puv[:, 0] % 1.0) * (tw - 1), 0, tw - 1).astype(np.int64)
+        vi = np.clip((puv[:, 1] % 1.0) * (th - 1), 0, th - 1).astype(np.int64)
+        return tex[vi, ui].astype(np.float32) / 255.0
+
+    if colors is None and tex_mats:
+        # Sample vertex colors PER PRIMITIVE from its own texture so
+        # UV-unaware consumers (the registration renderer's vertex
+        # shading) keep appearance even across materials. Primitives
+        # without a texture fall back to mid-gray.
+        per_prim = []
+        ok = True
+        for pv, pc, puv, pm in zip(all_v, all_c, all_uv, all_mat):
+            if pc is not None:
+                per_prim.append(np.asarray(pc, np.float32)[:, :3])
+            elif puv is not None and tex_cache.get(pm) is not None:
+                per_prim.append(_sample(tex_cache[pm], puv))
+            elif len(tex_mats) > 1:
+                per_prim.append(np.full((len(pv), 3), 0.5, np.float32))
+            else:
+                ok = False
+                break
+        if ok:
+            colors = np.concatenate(per_prim, axis=0)
     return Mesh(
         vertices=np.concatenate(all_v, axis=0),
         faces=np.concatenate(all_f, axis=0).astype(np.int32),

@@ -608,7 +608,8 @@ class SamAutoSegmentation:
 
     def __init__(self, cfg: SamConfig | None = None, params=None,
                  points_per_side: int = 8, pred_iou_thresh: float = 0.7,
-                 stability_offset: float = 1.0, nms_iou: float = 0.7,
+                 stability_offset: float = 1.0, stability_thresh: float = 0.95,
+                 nms_iou: float = 0.7,
                  min_area_frac: float = 0.0005, seed: int = 0):
         self.cfg = cfg or SamConfig.vit_base()
         self.model = SamCore(self.cfg)
@@ -616,6 +617,7 @@ class SamAutoSegmentation:
         self.points_per_side = points_per_side
         self.pred_iou_thresh = pred_iou_thresh
         self.stability_offset = stability_offset
+        self.stability_thresh = stability_thresh
         self.nms_iou = nms_iou
         self.min_area_frac = min_area_frac
         self._seed = seed
@@ -673,6 +675,12 @@ class SamAutoSegmentation:
         best = iou.argmax(axis=1)
         sel_masks = masks[np.arange(masks.shape[0]), best]
         sel_iou = iou[np.arange(iou.shape[0]), best]
+        # Stability score (segment-anything's second quality filter): how
+        # little the mask area changes when the logit threshold moves by
+        # +/- stability_offset around 0.
+        hi = (sel_masks > self.stability_offset).sum(axis=(-1, -2))
+        lo = (sel_masks > -self.stability_offset).sum(axis=(-1, -2))
+        stability = hi / np.maximum(lo, 1)
 
         order = np.argsort(-sel_iou)
         kept: list[np.ndarray] = []
@@ -680,6 +688,8 @@ class SamAutoSegmentation:
         min_area = self.min_area_frac * sel_masks.shape[-1] * sel_masks.shape[-2]
         for i in order:
             if sel_iou[i] < self.pred_iou_thresh:
+                continue
+            if stability[i] < self.stability_thresh:
                 continue
             m = sel_masks[i] > 0.0
             a = float(m.sum())
