@@ -45,7 +45,11 @@ HOST_TIMED_IMAGES = 3
 # only if this much time remains, so the headline JSON line always lands.
 # 900s leaves the e2e shard (the last, compile-heaviest config) a real
 # window after headline+depth+registration (~400s warm).
-EXTRA_BUDGET_S = 900.0
+EXTRA_BUDGET_S = 1700.0
+# Internal gate for bench_generative's per-model sections (each model is a
+# separate tunnel program load; a degraded tunnel should yield a partial
+# record, not eat the whole extras budget).
+GENERATIVE_BUDGET_S = 600.0
 _T_START = time.perf_counter()
 
 
@@ -199,7 +203,8 @@ def bench_depth_models() -> dict:
     rng = np.random.default_rng(0)
 
     # MoGe ViT-L/14 at the production 518^2 bucket; batch 8 is the
-    # measured throughput sweet spot (flash-attn path: 57.6 img/s at b8).
+    # measured throughput sweet spot (packed-qkv flash + fused dual-head
+    # conv: 70.1 img/s at b8).
     bm, sm = 8, 518
     moge = MoGeModel(MoGeConfig.vitl())
     imgs_m = jnp.asarray(rng.uniform(size=(bm, sm, sm, 3)).astype(np.float32))
@@ -405,6 +410,146 @@ def bench_e2e_fast() -> dict:
     }
 
 
+def bench_generative() -> dict:
+    """On-chip per-step costs of the generative stack at production shapes
+    (random/zeros weights — dense compute cost is weight-value independent):
+    TRELLIS SS + SLat CFG velocity steps, the SD UNet step at 64^2 latents,
+    SVRM views->triplane, and flash vs XLA attention at the DiT shape.
+    These are the stages that dominate the reference's wall clock
+    (SURVEY.md section 3B); each model is internally budget-gated so a slow
+    tunnel load yields a partial record instead of none."""
+    import jax
+    import jax.numpy as jnp
+
+    out: dict = {}
+    t_start = time.perf_counter()
+    rng = np.random.default_rng(0)
+
+    def left() -> float:
+        return GENERATIVE_BUDGET_S - (time.perf_counter() - t_start)
+
+    # --- TRELLIS sparse-structure flow: one CFG velocity step (2 model
+    # evals + euler update) at ss_flow_img_dit_L shapes: 4096 latent
+    # tokens, DiT-L torso, DINOv2-L conditioning (1374 tokens).
+    from labelany3d_tpu.models.trellis.sparse_structure import (
+        SparseStructureConfig,
+        SparseStructureFlowModel,
+    )
+
+    ss_cfg = SparseStructureConfig()
+    ss = SparseStructureFlowModel(ss_cfg)
+    r3 = ss_cfg.latent_res**3
+    x_ss = jnp.asarray(rng.normal(size=(1, r3, ss_cfg.latent_channels)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(1, 1374, 1024)).astype(np.float32))
+    uncond = jnp.zeros_like(cond)
+    t1 = jnp.full((1,), 500.0)
+    p_ss = _zeros_params(ss, x_ss, t1, cond)
+
+    def ss_step(acc, x):
+        v_c = ss.apply({"params": p_ss}, x, t1, cond)
+        v_u = ss.apply({"params": p_ss}, x, t1, uncond)
+        v = v_u + 7.5 * (v_c - v_u)
+        x2 = x + (1.0 / 25.0) * v
+        return acc + x2.sum(), x2
+
+    f_ss = jax.jit(lambda acc, x: ss_step(acc, x))
+
+    def chain2(fn, x0, iters):
+        acc, x = jnp.float32(0.0), x0
+        acc, x = fn(acc, x)
+        float(acc)  # compile + program load
+        acc, x = jnp.float32(0.0), x0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            acc, x = fn(acc, x)
+        float(acc)
+        return (time.perf_counter() - t0) / iters * 1000.0
+
+    out["trellis_ss_cfg_step_ms"] = round(chain2(f_ss, x_ss, 6), 1)
+
+    # --- TRELLIS SLat flow step at max_voxels=8192, same torso.
+    if left() > 180:
+        from labelany3d_tpu.models.trellis.slat import SLatConfig, SLatFlowModel
+
+        sl_cfg = SLatConfig()
+        sl = SLatFlowModel(sl_cfg)
+        n = 8192
+        x_sl = jnp.asarray(rng.normal(size=(1, n, sl_cfg.latent_channels)).astype(np.float32))
+        coords = jnp.asarray(rng.integers(0, sl_cfg.resolution, (1, n, 3)).astype(np.int32))
+        valid = jnp.ones((1, n), bool)
+        p_sl = _zeros_params(sl, x_sl, coords, valid, t1, cond)
+
+        def sl_step(acc, x):
+            v_c = sl.apply({"params": p_sl}, x, coords, valid, t1, cond)
+            v_u = sl.apply({"params": p_sl}, x, coords, valid, t1, uncond)
+            v = v_u + 3.0 * (v_c - v_u)
+            x2 = x + (1.0 / 25.0) * v
+            return acc + x2.sum(), x2
+
+        f_sl = jax.jit(sl_step)
+        out["trellis_slat_cfg_step_ms"] = round(chain2(f_sl, x_sl, 4), 1)
+
+    # --- SD UNet (InvSR/completion backbone) CFG step at 64^2 latents.
+    if left() > 150:
+        from labelany3d_tpu.models.diffusion.unet import UNet, UNetConfig
+
+        u_cfg = UNetConfig()
+        unet = UNet(u_cfg)
+        x_u = jnp.asarray(rng.normal(size=(2, 64, 64, u_cfg.in_channels)).astype(np.float32))
+        t_u = jnp.full((2,), 500.0)
+        ctx = jnp.asarray(rng.normal(size=(2, 77, u_cfg.context_dim)).astype(np.float32))
+        p_u = _zeros_params(unet, x_u, t_u, ctx)
+
+        def u_step(acc, x):
+            eps = unet.apply({"params": p_u}, x, t_u, ctx)
+            x2 = x - 0.1 * eps
+            return acc + x2.sum(), x2
+
+        f_u = jax.jit(u_step)
+        out["sd_unet_step_ms"] = round(chain2(f_u, x_u, 8), 1)
+
+    # --- SVRM views->triplane at the mvd_std layout (7 views, 504^2).
+    if left() > 150:
+        from labelany3d_tpu.models.svrm import SVRM, SVRMConfig
+
+        s_cfg = SVRMConfig()
+        svrm = SVRM(s_cfg)
+        views = jnp.asarray(
+            rng.uniform(size=(1, s_cfg.num_views, s_cfg.image_size,
+                              s_cfg.image_size, 3)).astype(np.float32))
+        cams = jnp.asarray(rng.normal(size=(1, s_cfg.num_views, s_cfg.cam_dim)).astype(np.float32))
+        p_s = _zeros_params(svrm, views, cams)
+
+        def s_step(acc, v):
+            planes = svrm.apply({"params": p_s}, v, cams)
+            return acc + planes.sum(), v
+
+        f_s = jax.jit(s_step)
+        out["svrm_views_to_triplane_ms"] = round(chain2(f_s, views, 2), 1)
+
+    # --- Flash vs XLA attention at the DiT shape (16 heads x 4096 x 64):
+    # the routing added for SVRM/TRELLIS dense attention, measured.
+    if left() > 90:
+        from labelany3d_tpu.ops.attention import flash_sdpa
+
+        q = jnp.asarray(rng.normal(size=(1, 4096, 16, 64)).astype(np.float32))
+
+        def a_flash(acc, x):
+            o = flash_sdpa(x.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
+                           x.astype(jnp.bfloat16))
+            return acc + o.astype(jnp.float32).sum(), x
+
+        def a_xla(acc, x):
+            o = jax.nn.dot_product_attention(
+                x.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
+                x.astype(jnp.bfloat16))
+            return acc + o.astype(jnp.float32).sum(), x
+
+        out["attn_dit_flash_ms"] = round(chain2(jax.jit(a_flash), q, 16), 2)
+        out["attn_dit_xla_ms"] = round(chain2(jax.jit(a_xla), q, 16), 2)
+    return out
+
+
 def bench_host_e2e() -> float:
     """Measured config-5 host divisor (see PINNED_HOST_E2E_IPS): the same
     synthetic shard as `bench_e2e_fast` as a single-image host loop with
@@ -595,7 +740,8 @@ def main():
             extra["headline_retry_error"] = f"{type(e2).__name__}: {e2}"[:200]
     for name, fn, min_left in (("depth", bench_depth_models, 240.0),
                                ("registration", bench_registration, 200.0),
-                               ("e2e", bench_e2e_fast, 180.0)):
+                               ("e2e", bench_e2e_fast, 180.0),
+                               ("generative", bench_generative, 240.0)):
         left = EXTRA_BUDGET_S - (time.perf_counter() - _T_START)
         if left < min_left:
             extra[f"{name}_skipped"] = f"budget ({left:.0f}s left)"

@@ -183,6 +183,23 @@ class ResidualConvBlock(nn.Module):
         return h + skip
 
 
+class _ConvInParams(nn.Module):
+    """Parameter-only stand-in for an nn.Conv(features, (3, 3)): declares the
+    identical {kernel, bias} tree so fused apply-time concatenation (see
+    MoGeCheckpointHead) leaves checkpoint layouts untouched."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class MoGeCheckpointHead(nn.Module):
     """Checkpoint-faithful MoGe head (`moge_model.py:60-141`): per-level 1x1
     projections summed, ConvTranspose-2x upsample blocks with UV concat and
@@ -230,9 +247,26 @@ class MoGeCheckpointHead(nn.Module):
         # heads convolve the same full-res tensor, and materializing the
         # padded copy twice doubles the head's largest HBM read.
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        # Fuse the two heads' first conv into ONE 2x-channel conv over the
+        # padded full-res tensor (its biggest HBM read — docs/PERF.md
+        # headroom list): kernels/biases are concatenated at apply time, so
+        # the parameter tree (out{j}_conv_in/{kernel,bias}) and therefore
+        # every converter/checkpoint stays byte-identical.
+        fused_in = None
+        if len(dim_out) == 2:
+            cc = cfg.last_conv_channels
+            ps = [_ConvInParams(cc, xp.shape[-1], name=f"out{j}_conv_in")()
+                  for j in range(2)]
+            kern = jnp.concatenate([k for k, _ in ps], axis=-1).astype(cfg.dtype)
+            bias = jnp.concatenate([bv for _, bv in ps], axis=0).astype(cfg.dtype)
+            both = jax.lax.conv_general_dilated(
+                xp.astype(cfg.dtype), kern, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias
+            fused_in = (both[..., :cc], both[..., cc:])
         outs = []
         for j, d in enumerate(dim_out):
-            h = nn.Conv(
+            h = fused_in[j] if fused_in is not None else nn.Conv(
                 cfg.last_conv_channels, (3, 3), padding="VALID",
                 dtype=cfg.dtype, param_dtype=jnp.float32,
                 name=f"out{j}_conv_in",

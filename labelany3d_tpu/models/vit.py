@@ -102,10 +102,25 @@ class Attention(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x, rope=None, seg=None):
+    def __call__(self, x, rope=None, seg=None, n_real=None):
         cfg = self.cfg
         head_dim = cfg.width // cfg.num_heads
         qkv = nn.Dense(3 * cfg.width, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="qkv")(x)
+
+        # Packed fast path: the Pallas kernel reads q/k/v as lane-offset
+        # views of the fused Dense output, skipping the split + head
+        # reshape + BSHD->BHSD transposes (~13 ms/batch on ViT-L/518,
+        # docs/PERF.md). Needs 128-aligned heads and a lane-padded
+        # sequence (the encoder pre-pads when fused_attn is on).
+        d_ok = head_dim % 128 == 0 or (
+            128 % head_dim == 0 and cfg.num_heads % (128 // head_dim) == 0)
+        if (cfg.fused_attn and rope is None and n_real is not None and d_ok
+                and x.shape[1] % 128 == 0 and jax.default_backend() == "tpu"):
+            from labelany3d_tpu.ops.attention import packed_flash_sdpa
+
+            out = packed_flash_sdpa(qkv, cfg.num_heads, n_real)
+            return nn.Dense(cfg.width, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="proj")(out)
+
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -149,10 +164,10 @@ class Block(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x, rope=None, seg=None):
+    def __call__(self, x, rope=None, seg=None, n_real=None):
         cfg = self.cfg
         h = nn.LayerNorm(dtype=jnp.float32, param_dtype=cfg.param_dtype, name="norm1")(x)
-        h = Attention(cfg, name="attn")(h.astype(cfg.dtype), rope=rope, seg=seg)
+        h = Attention(cfg, name="attn")(h.astype(cfg.dtype), rope=rope, seg=seg, n_real=n_real)
         if cfg.layerscale_init is not None:
             h = LayerScale(cfg.width, cfg.layerscale_init, cfg.param_dtype, name="ls1")(h)
         x = x + h
@@ -265,7 +280,7 @@ class ViT(nn.Module):
         hiddens = []
         want = set(i % cfg.depth for i in cfg.out_indices)
         for i in range(cfg.depth):
-            x = Block(cfg, name=f"block{i}")(x, rope=rope, seg=seg)
+            x = Block(cfg, name=f"block{i}")(x, rope=rope, seg=seg, n_real=n_real)
             if i in want:
                 h = final_norm(x[:, :n_real]) if cfg.norm_hiddens else x[:, :n_real]
                 hiddens.append(h[:, n_prefix:])

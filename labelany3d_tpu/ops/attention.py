@@ -17,6 +17,8 @@ static). `jax.nn.dot_product_attention` lowers to the fused TPU attention.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -108,6 +110,132 @@ def flash_sdpa(
     )
     out = out.transpose(0, 2, 1, 3)
     return out[:, :n] if pad_q else out
+
+
+def _packed_flash_fwd(qkv, num_heads, n_real, block_q):
+    """Forward kernel: (B, Npad, 3W) packed qkv -> (B, Npad, W) attention.
+
+    The three operands are BlockSpec *views* of the same packed array
+    (q at lane offset 0, k at W, v at 2W), so the Dense(3W) output feeds
+    the MXU directly — no split/reshape/transpose layout pass over HBM.
+    Heads are processed in 128-lane groups (2 heads at D=64) to satisfy
+    the TPU's 128-aligned output-block constraint.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n_pad, w3 = qkv.shape
+    w = w3 // 3
+    d = w // num_heads
+    hpb = max(1, 128 // d)            # heads per 128-lane block
+    lanes = hpb * d                    # 128 (or d when d >= 128)
+    scale = 1.0 / float(d) ** 0.5
+    grid = (b, num_heads // hpb, n_pad // block_q)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        outs = []
+        for j in range(hpb):
+            sl = slice(j * d, (j + 1) * d)
+            q = q_ref[0, :, sl].astype(jnp.bfloat16)
+            k = k_ref[0, :, sl].astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if n_real < n_pad:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < n_real, s, -jnp.inf)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            v = v_ref[0, :, sl].astype(jnp.bfloat16)
+            outs.append(jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        o = outs[0] if hpb == 1 else jnp.concatenate(outs, axis=-1)
+        o_ref[0] = o.astype(o_ref.dtype)
+
+    flops = 4 * b * num_heads * n_pad * n_pad * d
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, lanes), lambda bi, hi, qi: (bi, qi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, lanes),
+                         lambda bi, hi, qi, _h=num_heads // hpb: (bi, 0, _h + hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, lanes),
+                         lambda bi, hi, qi, _h=num_heads // hpb: (bi, 0, 2 * _h + hi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, lanes),
+                               lambda bi, hi, qi: (bi, qi, hi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, w), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=qkv.size * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n_pad * n_pad),
+    )(qkv, qkv, qkv)
+
+
+def _packed_reference(qkv, num_heads, n_real):
+    """XLA reference path for the packed layout (non-TPU backends and the
+    custom-vjp backward): split -> heads -> fused SDPA -> merge."""
+    b, n_pad, w3 = qkv.shape
+    w = w3 // 3
+    d = w // num_heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(b, n_pad, num_heads, d)
+
+    seg = None
+    if n_real < n_pad:
+        seg = (jnp.arange(n_pad) >= n_real)[None].astype(jnp.int32)
+        seg = jnp.broadcast_to(seg, (b, n_pad))
+        mask = (seg == 0)[:, None, None, :]
+        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v), mask=mask)
+    else:
+        out = jax.nn.dot_product_attention(heads(q), heads(k), heads(v))
+    return out.reshape(b, n_pad, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def packed_flash_sdpa(qkv, num_heads: int, n_real: int, block_q: int = 0):
+    """Self-attention straight from the packed (B, Npad, 3W) qkv tensor.
+
+    TPU: a Pallas kernel whose q/k/v operands are three BlockSpec views of
+    the same packed array, eliminating the split + head-reshape +
+    BSHD->BHSD transposes that cost ~13 ms/batch on the ViT-L/518 encoder
+    (docs/PERF.md headroom list). Npad must be a multiple of 128 (callers
+    pre-pad, like the ViT encoder); tokens at index >= n_real are masked
+    as pad. Other backends fall back to the fused XLA path.
+
+    The backward pass recomputes attention via XLA (flash backward adds
+    nothing single-chip at these sizes; training paths run on CPU meshes).
+    """
+    if jax.default_backend() != "tpu":
+        return _packed_reference(qkv, num_heads, n_real)
+    n_pad = qkv.shape[1]
+    bq = block_q or _flash_block_q(n_pad)
+    d = qkv.shape[2] // 3 // num_heads
+    if (128 % d and d % 128) or (d < 128 and num_heads % (128 // d)):
+        return _packed_reference(qkv, num_heads, n_real)
+    return _packed_flash_fwd(qkv, num_heads, n_real, bq)
+
+
+def _packed_fwd_rule(qkv, num_heads, n_real, block_q):
+    return packed_flash_sdpa(qkv, num_heads, n_real, block_q), qkv
+
+
+def _packed_bwd_rule(num_heads, n_real, block_q, qkv, g):
+    _, vjp = jax.vjp(lambda t: _packed_reference(t, num_heads, n_real), qkv)
+    return (vjp(g)[0],)
+
+
+packed_flash_sdpa.defvjp(_packed_fwd_rule, _packed_bwd_rule)
 
 
 def serialized_attention(
