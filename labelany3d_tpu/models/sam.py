@@ -600,17 +600,24 @@ SAM_IMAGE_STD = np.array([58.395, 57.12, 57.375], np.float32)
 class SamAutoSegmentation:
     """Class-agnostic instance masks from a point grid (the EntityV2 role).
 
-    One encoder pass per image; ONE decoder pass over all grid prompts
-    (prompt-batch dimension), then IoU-ordered NMS dedup on host. Matches
-    the segment-anything automatic mask generator's structure with
-    TPU-friendly static shapes.
+    One encoder pass per image; the grid prompts run through the decoder in
+    fixed-size chunks of `prompt_chunk` (one compiled program, reused across
+    chunks), then IoU-ordered NMS dedup on host. Matches the segment-anything
+    automatic mask generator's structure with TPU-friendly static shapes.
+
+    `points_per_side` is the coverage/cost knob: segment-anything defaults to
+    32 (1024 prompts); 16 (256 prompts, 4 decoder calls) recovers most small
+    objects in wild photos; 8 (64 prompts, 1 call) is the cheap setting and
+    can miss small/thin instances. Decoder cost scales linearly with
+    points_per_side**2; the encoder pass is shared.
     """
 
     def __init__(self, cfg: SamConfig | None = None, params=None,
-                 points_per_side: int = 8, pred_iou_thresh: float = 0.7,
+                 points_per_side: int = 16, pred_iou_thresh: float = 0.7,
                  stability_offset: float = 1.0, stability_thresh: float = 0.95,
                  nms_iou: float = 0.7,
-                 min_area_frac: float = 0.0005, seed: int = 0):
+                 min_area_frac: float = 0.0005, seed: int = 0,
+                 prompt_chunk: int = 64):
         self.cfg = cfg or SamConfig.vit_base()
         self.model = SamCore(self.cfg)
         self.params = params
@@ -620,6 +627,7 @@ class SamAutoSegmentation:
         self.stability_thresh = stability_thresh
         self.nms_iou = nms_iou
         self.min_area_frac = min_area_frac
+        self.prompt_chunk = prompt_chunk
         self._seed = seed
         self._encode = None
         self._decode = None
@@ -664,13 +672,24 @@ class SamAutoSegmentation:
         ar = (np.arange(g) + 0.5) / g * s
         xx, yy = np.meshgrid(ar, ar)
         pts = np.stack([xx.ravel(), yy.ravel()], axis=-1)  # (g*g, 2)
-        input_points = jnp.asarray(pts[None, :, None, :], jnp.float32)
-        input_labels = jnp.ones((1, g * g, 1), jnp.int32)
 
         emb = self._encode(self.params["vision"], jnp.asarray(x)[None])
-        masks, iou = self._decode(self.params, emb, input_points, input_labels)
-        masks = np.asarray(masks[0], np.float32)  # (P, 3, 4g, 4g) logits
-        iou = np.asarray(iou[0], np.float32)      # (P, 3)
+        # Decode in fixed-size prompt chunks: every call has the identical
+        # (1, prompt_chunk, 1, 2) shape, so one compiled program serves all
+        # chunks and points_per_side can grow without re-jitting or a single
+        # oversized decoder batch.
+        chunk = min(self.prompt_chunk, g * g)
+        n_pad = -len(pts) % chunk
+        pts_pad = np.concatenate([pts, np.zeros((n_pad, 2), np.float32)])
+        mask_chunks, iou_chunks = [], []
+        labs = jnp.ones((1, chunk, 1), jnp.int32)
+        for c0 in range(0, len(pts_pad), chunk):
+            cp = jnp.asarray(pts_pad[None, c0:c0 + chunk, None, :], jnp.float32)
+            m, i = self._decode(self.params, emb, cp, labs)
+            mask_chunks.append(np.asarray(m[0], np.float32))
+            iou_chunks.append(np.asarray(i[0], np.float32))
+        masks = np.concatenate(mask_chunks)[:len(pts)]  # (P, 3, 4g, 4g) logits
+        iou = np.concatenate(iou_chunks)[:len(pts)]     # (P, 3)
 
         best = iou.argmax(axis=1)
         sel_masks = masks[np.arange(masks.shape[0]), best]
@@ -682,31 +701,32 @@ class SamAutoSegmentation:
         lo = (sel_masks > -self.stability_offset).sum(axis=(-1, -2))
         stability = hi / np.maximum(lo, 1)
 
-        order = np.argsort(-sel_iou)
-        kept: list[np.ndarray] = []
-        kept_areas: list[float] = []
         min_area = self.min_area_frac * sel_masks.shape[-1] * sel_masks.shape[-2]
-        for i in order:
-            if sel_iou[i] < self.pred_iou_thresh:
-                continue
-            if stability[i] < self.stability_thresh:
-                continue
-            m = sel_masks[i] > 0.0
-            a = float(m.sum())
-            if a < min_area:
-                continue
-            dup = False
-            for km, ka in zip(kept, kept_areas):
-                inter = float(np.logical_and(m, km).sum())
-                if inter / (a + ka - inter + 1e-9) > self.nms_iou:
-                    dup = True
-                    break
-            if dup:
-                continue
-            kept.append(m)
-            kept_areas.append(a)
+        bin_masks = sel_masks > 0.0
+        areas = bin_masks.sum(axis=(-1, -2)).astype(np.float64)
+        ok = ((sel_iou >= self.pred_iou_thresh)
+              & (stability >= self.stability_thresh)
+              & (areas >= min_area))
+        cand = np.nonzero(ok)[0]
+        cand = cand[np.argsort(-sel_iou[cand])]
+        # Greedy NMS with a precomputed pairwise IoU matrix: survivors'
+        # masks are 4x-strided (dedup at 0.7 IoU is insensitive to that)
+        # and intersections come from one float matmul instead of the
+        # O(n^2) Python mask-pair loop.
+        kept_idx: list[int] = []
+        if len(cand):
+            flat = bin_masks[cand][:, ::4, ::4].reshape(len(cand), -1).astype(np.float32)
+            inter = flat @ flat.T
+            ar = flat.sum(axis=1)
+            iou_mat = inter / (ar[:, None] + ar[None, :] - inter + 1e-9)
+            kept_pos: list[int] = []
+            for j in range(len(cand)):
+                if all(iou_mat[j, k] <= self.nms_iou for k in kept_pos):
+                    kept_pos.append(j)
+            kept_idx = [int(cand[j]) for j in kept_pos]
         out = []
-        for m in kept:
+        for i in kept_idx:
+            m = bin_masks[i]
             mi = np.asarray(
                 Image.fromarray(m.astype(np.uint8) * 255).resize((w, h), Image.NEAREST)
             ) > 127
