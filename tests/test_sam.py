@@ -127,3 +127,25 @@ def test_sam_auto_segmentation_runs():
             union = a.sum() + b.sum() - inter
             if union > 0:
                 assert inter / union <= seg.nms_iou + 1e-6
+
+
+def test_sam_auto_segmentation_chunked_matches_single_call():
+    """The chunked prompt decode (prompt_chunk < P, with pad on the last
+    chunk) must produce the same masks as one full-batch decoder call."""
+    from labelany3d_tpu.utils.logging import reset_warnings
+
+    rng = np.random.default_rng(1)
+    image = (rng.uniform(size=(40, 64, 3)) * 255).astype(np.uint8)
+    outs = []
+    for chunk in (16, 6):  # 6 does not divide 16 prompts -> padded tail
+        reset_warnings()
+        seg = SamAutoSegmentation(
+            SamConfig.tiny_test(), points_per_side=4,
+            pred_iou_thresh=-1e9, stability_thresh=0.0, min_area_frac=0.0,
+            prompt_chunk=chunk, seed=3,
+        )
+        outs.append(seg.segment(image))
+    a, b = outs
+    assert len(a) == len(b) and len(a) >= 1
+    for ma, mb in zip(a, b):
+        np.testing.assert_array_equal(ma, mb)
