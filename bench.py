@@ -244,11 +244,14 @@ def bench_depth_models() -> dict:
 
 
 def bench_registration() -> dict:
-    """Config 4: matcher forward (MASt3R-ViT-L shape, 512^2 pair) +
-    reciprocal-NN + hypothesis-batch RANSAC PnP, as one jitted program.
+    """Config 4: matcher forward (MASt3R-ViT-L shape, 512^2 pairs) +
+    reciprocal-NN + hypothesis-batch RANSAC PnP, as jitted programs.
 
-    Reported per object: the reference matches ~8 rendered views and solves
-    PnP twice per object (`process_image_space.py:34-159`)."""
+    Per object (`process_image_space.py:34-159`): stage A matches the crop
+    against 8 orbit renders — here ONE batch-8 forward + 8 unrolled NN
+    kernels + one PnP over the pooled matches (the `match_batch` path in
+    `pipeline/backends.py`) — plus a stage-B single-pair re-match + 2nd
+    PnP. Both stages are measured directly."""
     import jax
     import jax.numpy as jnp
 
@@ -257,35 +260,55 @@ def bench_registration() -> dict:
     from labelany3d_tpu.ops.reciprocal_nn import reciprocal_nn_match
 
     rng = np.random.default_rng(0)
-    s = 512
+    s, n_views = 512, 8
     model = TwoViewMatcher(MatcherConfig.mast3r_vitl())
     img0 = jnp.asarray(rng.uniform(size=(1, s, s, 3)).astype(np.float32))
     img1 = jnp.asarray(rng.uniform(size=(1, s, s, 3)).astype(np.float32))
     params = _zeros_params(model, img0, img1)
+    refs = jnp.broadcast_to(img0, (n_views, s, s, 3))
+    views = jnp.asarray(rng.uniform(size=(n_views, s, s, 3)).astype(np.float32))
     K = jnp.asarray([[560.44, 0, 256.0], [0, 560.44, 256.0], [0, 0, 1]], jnp.float32)
+
+    def lift(m):
+        # Lift matched render pixels to a synthetic depth plane -> 3D.
+        return jnp.concatenate(
+            [(m.xy1 - 256.0) / 560.44 * 2.0, jnp.full((m.xy1.shape[0], 1), 2.0)],
+            axis=-1,
+        )
 
     def pair_step(acc, p, a, b, key):
         out = model.apply({"params": p}, a, b)
         m = reciprocal_nn_match(out["desc0"][0], out["desc1"][0])
-        # Lift matched render pixels to a synthetic depth plane -> 3D, PnP.
-        pts3d = jnp.concatenate(
-            [(m.xy1 - 256.0) / 560.44 * 2.0, jnp.full((m.xy1.shape[0], 1), 2.0)],
-            axis=-1,
-        )
-        pnp = solve_pnp_ransac(pts3d, m.xy0, K, valid=m.valid, key=key)
+        pnp = solve_pnp_ransac(lift(m), m.xy0, K, valid=m.valid, key=key)
         return acc + pnp.rotation.sum() + pnp.translation.sum() + m.xy0.sum()
 
-    fn = jax.jit(pair_step)
+    def orbit_step(acc, p, a, b, key):
+        out = model.apply({"params": p}, a, b)
+        ms = [reciprocal_nn_match(out["desc0"][v], out["desc1"][v])
+              for v in range(n_views)]
+        pts3d = jnp.concatenate([lift(m) for m in ms])
+        xy = jnp.concatenate([m.xy0 for m in ms])
+        valid = jnp.concatenate([m.valid for m in ms])
+        pnp = solve_pnp_ransac(pts3d, xy, K, valid=valid, key=key)
+        return acc + pnp.rotation.sum() + pnp.translation.sum() + xy.sum()
+
     key = jax.random.PRNGKey(0)
     iters = 8
-    dt = _timed_chain(
-        fn, lambda it: (params, img0, img1, jax.random.fold_in(key, it)), iters=iters
+    dt_pair = _timed_chain(
+        jax.jit(pair_step),
+        lambda it: (params, img0, img1, jax.random.fold_in(key, it)), iters=iters
     )
-    ms_per_pair = dt / iters * 1000.0
+    ms_per_pair = dt_pair / iters * 1000.0
+    dt_orbit = _timed_chain(
+        jax.jit(orbit_step),
+        lambda it: (params, refs, views, jax.random.fold_in(key, it)), iters=4
+    )
+    ms_orbit = dt_orbit / 4 * 1000.0
     return {
         "match_pnp_ms_per_view_pair": round(ms_per_pair, 1),
-        # 8 view pairs + re-render match + 2nd PnP ~= 9 pair-equivalents
-        "registration_ms_per_object": round(9 * ms_per_pair, 1),
+        "orbit8_match_pnp_ms": round(ms_orbit, 1),
+        # stage A (batched orbit) + stage B (re-render single pair + PnP)
+        "registration_ms_per_object": round(ms_orbit + ms_per_pair, 1),
     }
 
 
@@ -738,10 +761,13 @@ def main():
             extra["headline_note"] = "short-window fallback (5 iters)"
         except Exception as e2:
             extra["headline_retry_error"] = f"{type(e2).__name__}: {e2}"[:200]
+    # generative runs BEFORE e2e: the e2e shard's first-run program loads
+    # can eat the remaining budget, and the generative numbers must land
+    # in every record (VERDICT r2 item 5).
     for name, fn, min_left in (("depth", bench_depth_models, 240.0),
                                ("registration", bench_registration, 200.0),
-                               ("e2e", bench_e2e_fast, 180.0),
-                               ("generative", bench_generative, 240.0)):
+                               ("generative", bench_generative, 240.0),
+                               ("e2e", bench_e2e_fast, 180.0)):
         left = EXTRA_BUDGET_S - (time.perf_counter() - _T_START)
         if left < min_left:
             extra[f"{name}_skipped"] = f"budget ({left:.0f}s left)"

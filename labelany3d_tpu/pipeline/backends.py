@@ -230,6 +230,7 @@ class JaxMatcherBackend:
         self.image_size = image_size
         self._seed = seed
         self._jitted = None
+        self._jitted_batch = None
 
     def _ensure(self, h: int, w: int):
         if self.params is None:
@@ -252,10 +253,22 @@ class JaxMatcherBackend:
                 out = self.model.apply({"params": params}, img0[None], img1[None])
                 return reciprocal_nn_match(out["desc0"][0], out["desc1"][0])
 
-            self._jitted = jax.jit(step)
+            # One forward for a whole orbit: (V, H, W, 3) pairs batched on
+            # the MXU; the per-view reciprocal-NN kernels unroll (V is
+            # static). The reference runs 8 sequential bs=1 MASt3R calls
+            # per object (`process_image_space.py:72-101`).
+            def step_batch(params, refs, views):
+                out = self.model.apply({"params": params}, refs, views)
+                res = [
+                    reciprocal_nn_match(out["desc0"][v], out["desc1"][v])
+                    for v in range(refs.shape[0])
+                ]
+                return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *res)
 
-    def match(self, ref_rgba: np.ndarray, view) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        h, w = view.rgba.shape[:2]
+            self._jitted = jax.jit(step)
+            self._jitted_batch = jax.jit(step_batch)
+
+    def _prep_ref(self, ref_rgba: np.ndarray, h: int, w: int) -> np.ndarray:
         ref = np.asarray(ref_rgba, np.float32)[..., :3]
         if ref.shape[:2] != (h, w):
             from PIL import Image
@@ -263,11 +276,31 @@ class JaxMatcherBackend:
             ref = np.asarray(
                 Image.fromarray((ref * 255).astype(np.uint8)).resize((w, h))
             ).astype(np.float32) / 255.0
+        return ref
+
+    def match(self, ref_rgba: np.ndarray, view) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        h, w = view.rgba.shape[:2]
         self._ensure(h, w)
+        ref = self._prep_ref(ref_rgba, h, w)
         res = self._jitted(
             self.params, jnp.asarray(ref), jnp.asarray(view.rgba[..., :3], jnp.float32)
         )
         return np.asarray(res.xy0), np.asarray(res.xy1), np.asarray(res.valid)
+
+    def match_batch(self, ref_rgba: np.ndarray, views) -> list[tuple]:
+        """Match the reference crop against all `views` in one forward."""
+        if not views:
+            return []
+        h, w = views[0].rgba.shape[:2]
+        self._ensure(h, w)
+        ref = self._prep_ref(ref_rgba, h, w)
+        refs = jnp.asarray(np.broadcast_to(ref, (len(views), h, w, 3)))
+        imgs = jnp.asarray(
+            np.stack([v.rgba[..., :3] for v in views]).astype(np.float32))
+        res = self._jitted_batch(self.params, refs, imgs)
+        xy0, xy1, valid = (np.asarray(res.xy0), np.asarray(res.xy1),
+                           np.asarray(res.valid))
+        return [(xy0[v], xy1[v], valid[v]) for v in range(len(views))]
 
 
 def register_default_backends() -> None:

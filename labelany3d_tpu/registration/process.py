@@ -41,6 +41,12 @@ class MatcherBackend(Protocol):
     Returns (xy_ref (S, 2), xy_view (S, 2), valid (S,)) in pixel coords.
     Implementations: `models.matcher.match_images` (production) or
     geometry-oracle fakes (tests).
+
+    Backends may additionally provide `match_batch(ref_rgba, views)` —
+    the same matches for a whole orbit in ONE batched model forward
+    (the reference runs 8 sequential bs=1 MASt3R calls per object,
+    `process_image_space.py:72-101`; on TPU batch-8 amortizes the MXU).
+    `register_object` uses it when present.
     """
 
     def match(self, ref_rgba: np.ndarray, view: RenderedView):
@@ -104,9 +110,12 @@ def register_object(
     azimuths = list(range(0, 360, 45))
     views = renderer.render_orbit_views(mesh, elevations, azimuths)
 
+    if hasattr(matcher, "match_batch"):
+        matches = matcher.match_batch(ref_crop_rgba, views)
+    else:
+        matches = [matcher.match(ref_crop_rgba, view) for view in views]
     obj_pts, img_pts, valids = [], [], []
-    for view in views:
-        xy_ref, xy_view, valid = matcher.match(ref_crop_rgba, view)
+    for view, (xy_ref, xy_view, valid) in zip(views, matches):
         world, valid = _lift_matches_to_object(view, xy_view, valid, renderer.K)
         obj_pts.append(world)
         img_pts.append(xy_ref.astype(np.float32))

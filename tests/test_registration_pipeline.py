@@ -182,3 +182,32 @@ def test_two_view_matcher_model_shapes():
     np.testing.assert_allclose(norms, 1.0, atol=1e-3)
     res = match_images(model, params, img[0], img[0])
     assert res.xy0.shape[1] == 2
+
+
+def test_jax_matcher_batch_matches_sequential():
+    """match_batch (one batched forward over the orbit) must agree exactly
+    with per-view match() calls — same model, same descriptors."""
+    from labelany3d_tpu.pipeline.backends import JaxMatcherBackend
+    from labelany3d_tpu.registration.renderer import RenderedView
+
+    rng = np.random.default_rng(0)
+    h = w = 64
+    backend = JaxMatcherBackend(tiny=True, image_size=h)
+    ref = rng.uniform(size=(h, w, 4)).astype(np.float32)
+    views = [
+        RenderedView(
+            rgba=rng.uniform(size=(h, w, 4)).astype(np.float32),
+            depth=np.full((h, w), 2.0, np.float32),
+            R=np.eye(3, dtype=np.float32),
+            t=np.zeros(3, np.float32),
+        )
+        for _ in range(3)
+    ]
+    batched = backend.match_batch(ref, views)
+    assert len(batched) == 3
+    for view, (bxy0, bxy1, bvalid) in zip(views, batched):
+        xy0, xy1, valid = backend.match(ref, view)
+        np.testing.assert_array_equal(bxy0, xy0)
+        np.testing.assert_array_equal(bxy1, xy1)
+        np.testing.assert_array_equal(bvalid, valid)
+    assert backend.match_batch(ref, []) == []
