@@ -265,7 +265,7 @@ def bench_registration() -> dict:
     img0 = jnp.asarray(rng.uniform(size=(1, s, s, 3)).astype(np.float32))
     img1 = jnp.asarray(rng.uniform(size=(1, s, s, 3)).astype(np.float32))
     params = _zeros_params(model, img0, img1)
-    refs = jnp.broadcast_to(img0, (n_views, s, s, 3))
+    refs = img0  # batch-1 ref: the matcher encodes it once per orbit
     views = jnp.asarray(rng.uniform(size=(n_views, s, s, 3)).astype(np.float32))
     K = jnp.asarray([[560.44, 0, 256.0], [0, 560.44, 256.0], [0, 0, 1]], jnp.float32)
 

@@ -295,12 +295,23 @@ class TwoViewMatcher(nn.Module):
 
     @nn.compact
     def __call__(self, img0: jnp.ndarray, img1: jnp.ndarray) -> dict:
-        """img0/img1: (B, H, W, 3) -> per-view pts3d/conf/desc maps."""
+        """img0/img1: (B, H, W, 3) -> per-view pts3d/conf/desc maps.
+
+        When img0 has batch 1 and img1 batch V > 1 (the registration orbit:
+        one reference crop against V rendered views,
+        `process_image_space.py:72-101`), the shared view is encoded ONCE
+        and its tokens broadcast — V+1 encoder rows instead of 2V. The
+        decoder/heads still run per pair (cross-attention differs per
+        view). Outputs are bitwise those of pre-broadcasting img0.
+        """
         cfg = self.cfg
         b, h, w, _ = img0.shape
+        b1 = img1.shape[0]
         enc = ViT(cfg.encoder, name="encoder")(jnp.concatenate([img0, img1], axis=0))
         gh, gw = enc["grid"]
-        t0, t1 = jnp.split(enc["tokens"], 2, axis=0)
+        t0, t1 = jnp.split(enc["tokens"], [b], axis=0)
+        if b == 1 and b1 > 1:
+            t0 = jnp.broadcast_to(t0, (b1,) + t0.shape[1:])
 
         proj = nn.Dense(cfg.dec_width, dtype=cfg.dtype, name="dec_embed")
         x0 = proj(t0)

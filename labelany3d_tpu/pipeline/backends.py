@@ -253,15 +253,17 @@ class JaxMatcherBackend:
                 out = self.model.apply({"params": params}, img0[None], img1[None])
                 return reciprocal_nn_match(out["desc0"][0], out["desc1"][0])
 
-            # One forward for a whole orbit: (V, H, W, 3) pairs batched on
-            # the MXU; the per-view reciprocal-NN kernels unroll (V is
-            # static). The reference runs 8 sequential bs=1 MASt3R calls
-            # per object (`process_image_space.py:72-101`).
-            def step_batch(params, refs, views):
-                out = self.model.apply({"params": params}, refs, views)
+            # One forward for a whole orbit: the shared reference crop is
+            # batch-1 (encoded once, tokens broadcast inside the model) and
+            # the (V, H, W, 3) views batch on the MXU; the per-view
+            # reciprocal-NN kernels unroll (V is static). The reference
+            # runs 8 sequential bs=1 MASt3R calls per object
+            # (`process_image_space.py:72-101`).
+            def step_batch(params, ref, views):
+                out = self.model.apply({"params": params}, ref, views)
                 res = [
                     reciprocal_nn_match(out["desc0"][v], out["desc1"][v])
-                    for v in range(refs.shape[0])
+                    for v in range(views.shape[0])
                 ]
                 return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *res)
 
@@ -294,7 +296,7 @@ class JaxMatcherBackend:
         h, w = views[0].rgba.shape[:2]
         self._ensure(h, w)
         ref = self._prep_ref(ref_rgba, h, w)
-        refs = jnp.asarray(np.broadcast_to(ref, (len(views), h, w, 3)))
+        refs = jnp.asarray(ref[None])  # batch-1: encoder runs it once
         imgs = jnp.asarray(
             np.stack([v.rgba[..., :3] for v in views]).astype(np.float32))
         res = self._jitted_batch(self.params, refs, imgs)

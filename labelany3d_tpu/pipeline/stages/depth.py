@@ -65,6 +65,16 @@ class DepthStage:
         writes = []
         io_pool = ThreadPoolExecutor(max_workers=2)
 
+        from threading import Semaphore
+
+        # At most 2 batches of device results in flight: flush() only
+        # dispatches (lazy under the tunnel backend) and hands the device
+        # handles to a fetch worker, so batch N+1's forward overlaps batch
+        # N's result download + artifact writes. Blocking the fetch inside
+        # flush measured ~2.5x the device time per batch (tunnel round
+        # trips + PNG/npy encode all serialized on the feed thread).
+        inflight = Semaphore(2)
+
         def flush(bucket):
             nonlocal done
             group = pending.get(bucket, [])
@@ -72,53 +82,59 @@ class DepthStage:
                 return
             # Bucket resizes already happened on the prefetch workers.
             batch = np.stack([r for _, _, _, r in group]).astype(np.float32) / 255.0
+            inflight.acquire()
             out = self.backend.infer(batch)
             self._key, sub = jax.random.split(self._key)
-            aligned = depth_fusion(
+            aligned_dev = depth_fusion(
                 out["relative_depth"], out["metric_depth"], out["depth_mask"], sub
             )
-            aligned = np.asarray(aligned)
-            K_bucket = np.asarray(out["K_pixels"])
-            bh, bw = bucket
-
-            def write_one(scene, img, row_depth, K_row):
-                oh, ow = img.shape[:2]
-                depth_full = resize_nearest(row_depth, oh, ow)
-                sy, sx = oh / bh, ow / bw
-                K = K_row.copy()
-                K[0] *= sx
-                K[1] *= sy
-                scene.write_depth(depth_full)
-                scene.write_cam_params(K, np.eye(4), ow, oh)
-                if not scene.input_image.exists():
-                    from PIL import Image
-
-                    Image.fromarray(img).save(scene.input_image)
-                if self.write_ply:
-                    # depth_scene.ply + depth_scene_no_edge.ply artifact
-                    # parity (depth.py:49,157).
-                    from labelany3d_tpu.data.meshio import save_ply_mesh, save_ply_points
-                    from labelany3d_tpu.geometry.backproject import depth_to_points
-                    from labelany3d_tpu.geometry.edges import edge_filtered_scene_mesh
-
-                    pts_map = np.asarray(depth_to_points(depth_full, K))
-                    save_ply_points(
-                        scene.root / "depth_scene.ply",
-                        pts_map.reshape(-1, 3), img.reshape(-1, 3),
-                    )
-                    valid = (depth_full > 0) & (depth_full < 9000)
-                    mv, mf, mc = edge_filtered_scene_mesh(
-                        pts_map, img, depth_full, valid
-                    )
-                    save_ply_mesh(scene.root / "depth_scene_no_edge.ply", mv, mf, mc)
-
-            for row, (info, scene, img, _r) in enumerate(group):
-                # Write-behind: artifact IO (npy + PNG encode + optional
-                # PLYs) overlaps the next batch's device work.
-                writes.append(io_pool.submit(
-                    write_one, scene, img, aligned[row], K_bucket[row]))
-                done += 1
+            snapshot = list(group)
+            writes.append(io_pool.submit(
+                fetch_and_write, bucket, snapshot, aligned_dev, out["K_pixels"]))
+            done += len(group)
             group.clear()
+
+        def fetch_and_write(bucket, group, aligned_dev, K_dev):
+            try:
+                aligned = np.asarray(aligned_dev)
+                K_bucket = np.asarray(K_dev)
+            finally:
+                inflight.release()
+            bh, bw = bucket
+            for row, (info, scene, img, _r) in enumerate(group):
+                write_one(bucket, scene, img, aligned[row], K_bucket[row])
+
+        def write_one(bucket, scene, img, row_depth, K_row):
+            bh, bw = bucket
+            oh, ow = img.shape[:2]
+            depth_full = resize_nearest(row_depth, oh, ow)
+            sy, sx = oh / bh, ow / bw
+            K = K_row.copy()
+            K[0] *= sx
+            K[1] *= sy
+            scene.write_depth(depth_full)
+            scene.write_cam_params(K, np.eye(4), ow, oh)
+            if not scene.input_image.exists():
+                from PIL import Image
+
+                Image.fromarray(img).save(scene.input_image)
+            if self.write_ply:
+                # depth_scene.ply + depth_scene_no_edge.ply artifact
+                # parity (depth.py:49,157).
+                from labelany3d_tpu.data.meshio import save_ply_mesh, save_ply_points
+                from labelany3d_tpu.geometry.backproject import depth_to_points
+                from labelany3d_tpu.geometry.edges import edge_filtered_scene_mesh
+
+                pts_map = np.asarray(depth_to_points(depth_full, K))
+                save_ply_points(
+                    scene.root / "depth_scene.ply",
+                    pts_map.reshape(-1, 3), img.reshape(-1, 3),
+                )
+                valid = (depth_full > 0) & (depth_full < 9000)
+                mv, mf, mc = edge_filtered_scene_mesh(
+                    pts_map, img, depth_full, valid
+                )
+                save_ply_mesh(scene.root / "depth_scene_no_edge.ply", mv, mf, mc)
 
         # Prefetch image decode on worker threads so host IO overlaps the
         # device batches (the reference loads synchronously per image,
