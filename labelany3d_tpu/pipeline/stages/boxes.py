@@ -96,17 +96,20 @@ class BoxStage:
             except Exception as e:
                 print(f"overlay failed: {e}")
 
-        def flush(pool):
-            nonlocal done
-            if not pending:
-                return
-            depth = np.stack([p[3] for p in pending])
-            K = np.stack([p[4] for p in pending])
-            masks = np.stack([p[5] for p in pending])
-            self._key, sub = jax.random.split(self._key)
-            out = self._step(depth, K, masks, sub)
-            boxes = jax.tree_util.tree_map(np.asarray, out.boxes)
-            for row, (scene, labels, bboxes_xyxy, *_rest, kept) in enumerate(pending):
+        from threading import Semaphore
+
+        # As in DepthStage: flush only dispatches the (lazy) device step and
+        # hands the handles to a fetch worker, so batch N+1's boxfit overlaps
+        # batch N's result download + JSON/overlay writes; at most 2 batches
+        # of device results in flight.
+        inflight = Semaphore(2)
+
+        def fetch_and_write(group, boxes_dev):
+            try:
+                boxes = jax.tree_util.tree_map(np.asarray, boxes_dev)
+            finally:
+                inflight.release()
+            for row, (scene, labels, bboxes_xyxy, *_rest, kept) in enumerate(group):
                 bbox_list = []
                 for i, label in enumerate(labels):
                     if i >= cfg.max_instances or not kept[i] or not boxes.ok[row, i]:
@@ -121,10 +124,20 @@ class BoxStage:
                             "bbox3D_cam": boxes.vertices[row, i].tolist(),
                         }
                     )
-                # Write-behind: JSON + overlay render happen off the
-                # critical path (they only depend on this scene's results).
-                writes.append(pool.submit(write_one, scene, bbox_list, bboxes_xyxy))
-                done += 1
+                write_one(scene, bbox_list, bboxes_xyxy)
+
+        def flush(pool):
+            nonlocal done
+            if not pending:
+                return
+            depth = np.stack([p[3] for p in pending])
+            K = np.stack([p[4] for p in pending])
+            masks = np.stack([p[5] for p in pending])
+            self._key, sub = jax.random.split(self._key)
+            inflight.acquire()
+            out = self._step(depth, K, masks, sub)
+            writes.append(pool.submit(fetch_and_write, list(pending), out.boxes))
+            done += len(pending)
             pending.clear()
 
         todo = []
