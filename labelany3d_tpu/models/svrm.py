@@ -503,8 +503,6 @@ class SVRMReconstruction:
     def reconstruct(self, crop_rgba: np.ndarray, label: str = "") -> Mesh:
         from PIL import Image
 
-        from labelany3d_tpu.ops.marching_cubes import marching_cubes_mesh
-
         self._ensure()
         cfg = self.cfg
         n = cfg.num_views
@@ -545,8 +543,21 @@ class SVRMReconstruction:
             jnp.asarray(np.stack(proc))[None],
             jnp.asarray(np.stack(cams), jnp.float32)[None],
         )
-        # Positive-inside convention: extract the zero level of -sdf
-        # (`svrm.py:180` mcubes(0 - sdf, 0)).
+        return self.mesh_from_lattice(np.asarray(sdf), np.asarray(rgb))
+
+    def mesh_from_lattice(self, sdf: np.ndarray, rgb: np.ndarray) -> Mesh:
+        """Extract the surface mesh from a (g, g, g) sdf/rgb lattice.
+
+        Pins the reference's conventions (`svrm.py:180,213`): positive-inside
+        sdf -> zero level of -sdf; grid index order (x, y, z) on a linspace
+        lattice over [-aabb, aabb]; OBJ export axis permutation (y, z, x).
+        Separated from `reconstruct` so the conventions are testable with a
+        handcrafted field (the full path runs the neural triplane
+        transformer, whose random-weight output is not analytic).
+        """
+        from labelany3d_tpu.ops.marching_cubes import marching_cubes_mesh
+
+        cfg = self.cfg
         verts, faces = marching_cubes_mesh(-np.asarray(sdf), iso=0.0)
         if len(verts) == 0:
             return Mesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))

@@ -82,15 +82,25 @@ def test_svrm_cylinder_extraction_conventions():
     np.testing.assert_allclose(float(out["sdf"][0]),
                                r0 - np.hypot(0.1, 0.2), atol=0.02)
 
+    # Extraction conventions, hermetically: query the HANDCRAFTED planes on
+    # the grid lattice (the full reconstruct() path goes through the neural
+    # triplane transformer, whose random-weight planes are not analytic) and
+    # run the lattice->mesh export step on the result.
+    sdf, rgb = model.apply({"params": params}, jnp.asarray(planes),
+                           method=SVRM.grid)
     recon = SVRMReconstruction(novel_views=None, cfg=cfg, params=params)
-    rgba = np.full((24, 24, 4), 255, np.uint8)
-    mesh = recon.reconstruct(rgba)
+    mesh = recon.mesh_from_lattice(np.asarray(sdf), np.asarray(rgb))
     assert len(mesh.vertices) > 0
     # After verts[:, [1, 2, 0]], the original z axis is coordinate 1; the
     # cylinder's radial plane (x, y) lands on coordinates (2, 0).
     side = mesh.vertices[np.abs(mesh.vertices[:, 1]) < cfg.aabb * 0.8]
     radii = np.hypot(side[:, 2], side[:, 0])
     assert abs(np.median(radii) - r0) < 0.06
+
+    # The full neural path still runs end to end and yields a finite mesh.
+    rgba = np.full((24, 24, 4), 255, np.uint8)
+    full = recon.reconstruct(rgba)
+    assert np.isfinite(full.vertices).all()
 
 
 def test_svrm_camera_vector_layout():
