@@ -468,27 +468,31 @@ def bench_generative() -> dict:
     t1 = jnp.full((1,), 500.0)
     p_ss = _zeros_params(ss, x_ss, t1, cond)
 
-    def ss_step(acc, x):
-        v_c = ss.apply({"params": p_ss}, x, t1, cond)
-        v_u = ss.apply({"params": p_ss}, x, t1, uncond)
+    def ss_step(acc, x, p):
+        v_c = ss.apply({"params": p}, x, t1, cond)
+        v_u = ss.apply({"params": p}, x, t1, uncond)
         v = v_u + 7.5 * (v_c - v_u)
         x2 = x + (1.0 / 25.0) * v
         return acc + x2.sum(), x2
 
-    f_ss = jax.jit(lambda acc, x: ss_step(acc, x))
+    f_ss = jax.jit(ss_step)
 
-    def chain2(fn, x0, iters):
+    def chain2(fn, x0, iters, *extra):
+        # Params ride as explicit jit ARGUMENTS: closing over multi-GB
+        # zeros trees bakes them into the HLO as captured constants
+        # (measured 2.2 GB lowered for the SS DiT alone), exploding
+        # compile + program-load time over the tunnel.
         acc, x = jnp.float32(0.0), x0
-        acc, x = fn(acc, x)
+        acc, x = fn(acc, x, *extra)
         float(acc)  # compile + program load
         acc, x = jnp.float32(0.0), x0
         t0 = time.perf_counter()
         for _ in range(iters):
-            acc, x = fn(acc, x)
+            acc, x = fn(acc, x, *extra)
         float(acc)
         return (time.perf_counter() - t0) / iters * 1000.0
 
-    out["trellis_ss_cfg_step_ms"] = round(chain2(f_ss, x_ss, 6), 1)
+    out["trellis_ss_cfg_step_ms"] = round(chain2(f_ss, x_ss, 6, p_ss), 1)
 
     # --- TRELLIS SLat flow step at max_voxels=8192, same torso.
     if left() > 180:
@@ -502,15 +506,15 @@ def bench_generative() -> dict:
         valid = jnp.ones((1, n), bool)
         p_sl = _zeros_params(sl, x_sl, coords, valid, t1, cond)
 
-        def sl_step(acc, x):
-            v_c = sl.apply({"params": p_sl}, x, coords, valid, t1, cond)
-            v_u = sl.apply({"params": p_sl}, x, coords, valid, t1, uncond)
+        def sl_step(acc, x, p):
+            v_c = sl.apply({"params": p}, x, coords, valid, t1, cond)
+            v_u = sl.apply({"params": p}, x, coords, valid, t1, uncond)
             v = v_u + 3.0 * (v_c - v_u)
             x2 = x + (1.0 / 25.0) * v
             return acc + x2.sum(), x2
 
         f_sl = jax.jit(sl_step)
-        out["trellis_slat_cfg_step_ms"] = round(chain2(f_sl, x_sl, 4), 1)
+        out["trellis_slat_cfg_step_ms"] = round(chain2(f_sl, x_sl, 4, p_sl), 1)
 
     # --- SD UNet (InvSR/completion backbone) CFG step at 64^2 latents.
     if left() > 150:
@@ -523,13 +527,13 @@ def bench_generative() -> dict:
         ctx = jnp.asarray(rng.normal(size=(2, 77, u_cfg.context_dim)).astype(np.float32))
         p_u = _zeros_params(unet, x_u, t_u, ctx)
 
-        def u_step(acc, x):
-            eps = unet.apply({"params": p_u}, x, t_u, ctx)
+        def u_step(acc, x, p):
+            eps = unet.apply({"params": p}, x, t_u, ctx)
             x2 = x - 0.1 * eps
             return acc + x2.sum(), x2
 
         f_u = jax.jit(u_step)
-        out["sd_unet_step_ms"] = round(chain2(f_u, x_u, 8), 1)
+        out["sd_unet_step_ms"] = round(chain2(f_u, x_u, 8, p_u), 1)
 
     # --- SVRM views->triplane at the mvd_std layout (7 views, 504^2).
     if left() > 150:
@@ -543,12 +547,12 @@ def bench_generative() -> dict:
         cams = jnp.asarray(rng.normal(size=(1, s_cfg.num_views, s_cfg.cam_dim)).astype(np.float32))
         p_s = _zeros_params(svrm, views, cams)
 
-        def s_step(acc, v):
-            planes = svrm.apply({"params": p_s}, v, cams)
+        def s_step(acc, v, p):
+            planes = svrm.apply({"params": p}, v, cams)
             return acc + planes.sum(), v
 
         f_s = jax.jit(s_step)
-        out["svrm_views_to_triplane_ms"] = round(chain2(f_s, views, 2), 1)
+        out["svrm_views_to_triplane_ms"] = round(chain2(f_s, views, 2, p_s), 1)
 
     # --- Flash vs XLA attention at the DiT shape (16 heads x 4096 x 64):
     # the routing added for SVRM/TRELLIS dense attention, measured.

@@ -98,11 +98,18 @@ def flash_sdpa(
             jnp.zeros((b, n_pad), jnp.int32) if q_ids is None else q_ids,
             jnp.zeros((b, nk_pad), jnp.int32) if kv_ids is None else kv_ids,
         )
+    # Full K/V resident while the (block_q, block_k) f32 score tile stays
+    # <= 4 MB; above that (e.g. TRELLIS SLat at 8192 tokens: 512 x 8192
+    # x 4 B = 16 MB) Mosaic's 16 MB scoped-VMEM stack overflows, so halve
+    # block_k (power-of-two halving keeps it dividing nk_pad).
+    bk = nk_pad
+    while bq * bk > (1 << 20) and bk % 2 == 0 and bk >= 2048:
+        bk //= 2
     bs = BlockSizes(
-        block_q=bq, block_k_major=nk_pad, block_k=nk_pad, block_b=1,
-        block_q_major_dkv=bq, block_k_major_dkv=nk_pad,
-        block_q_dkv=bq, block_k_dkv=nk_pad,
-        block_q_dq=bq, block_k_dq=nk_pad, block_k_major_dq=nk_pad,
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_q_dkv=bq, block_k_dkv=bk,
+        block_q_dq=bq, block_k_dq=bk, block_k_major_dq=bk,
     )
     out = flash_attention(
         prep(q, pad_q), prep(k, pad_k), prep(v, pad_k), segment_ids=seg,
