@@ -41,10 +41,11 @@ B, H, W, I, PTS = 8, 512, 512, 16, 512
 TPU_WARMUP_ITERS = 10   # tunnel cold-start; see bench_tpu timing notes
 TPU_TIMED_ITERS = 50
 HOST_TIMED_IMAGES = 3
-# Wall-clock budget for the extra (config 3-5) sub-benches: each starts
-# only if this much time remains, so the headline JSON line always lands.
-# 900s leaves the e2e shard (the last, compile-heaviest config) a real
-# window after headline+depth+registration (~400s warm).
+# Wall-clock budget for the extra (config 3-5 + generative) sub-benches:
+# each starts only if this much time remains, so the headline JSON line
+# always lands. 1700s leaves the e2e shard (the last, compile-heaviest
+# config) a real window after headline+depth+registration+generative
+# (~600s all together warm; cold compiles persist to /tmp/la3d_jax_cache).
 EXTRA_BUDGET_S = 1700.0
 # Internal gate for bench_generative's per-model sections (each model is a
 # separate tunnel program load; a degraded tunnel should yield a partial
@@ -451,6 +452,19 @@ def bench_generative() -> dict:
     def left() -> float:
         return GENERATIVE_BUDGET_S - (time.perf_counter() - t_start)
 
+    def run_sect(name, min_left, body):
+        # Per-section budget gate + fault isolation: a section that fails
+        # to build or compile records an error string instead of sinking
+        # the whole generative record (several latent TPU-only paths get
+        # their first real exercise here).
+        if left() <= min_left:
+            out[f"{name}_skipped"] = f"budget ({left():.0f}s left)"
+            return
+        try:
+            body()
+        except Exception as e:  # noqa: BLE001
+            out[f"{name}_error"] = f"{type(e).__name__}: {e}"[:160]
+
     # --- TRELLIS sparse-structure flow: one CFG velocity step (2 model
     # evals + euler update) at ss_flow_img_dit_L shapes: 4096 latent
     # tokens, DiT-L torso, DINOv2-L conditioning (1374 tokens).
@@ -492,10 +506,11 @@ def bench_generative() -> dict:
         float(acc)
         return (time.perf_counter() - t0) / iters * 1000.0
 
-    out["trellis_ss_cfg_step_ms"] = round(chain2(f_ss, x_ss, 6, p_ss), 1)
+    run_sect("trellis_ss", 0, lambda: out.update(
+        trellis_ss_cfg_step_ms=round(chain2(f_ss, x_ss, 6, p_ss), 1)))
 
     # --- TRELLIS SLat flow step at max_voxels=8192, same torso.
-    if left() > 180:
+    def _sec_slat():
         from labelany3d_tpu.models.trellis.slat import SLatConfig, SLatFlowModel
 
         sl_cfg = SLatConfig()
@@ -516,12 +531,14 @@ def bench_generative() -> dict:
         f_sl = jax.jit(sl_step)
         out["trellis_slat_cfg_step_ms"] = round(chain2(f_sl, x_sl, 4, p_sl), 1)
 
-    # --- SD UNet (InvSR/completion backbone) CFG step at 64^2 latents.
-    if left() > 150:
-        from labelany3d_tpu.models.diffusion.unet import UNet, UNetConfig
+    run_sect("trellis_slat", 180, _sec_slat)
 
-        u_cfg = UNetConfig()
-        unet = UNet(u_cfg)
+    # --- SD UNet (InvSR/completion backbone) CFG step at 64^2 latents.
+    def _sec_unet():
+        from labelany3d_tpu.models.diffusion.unet import UNet2D, UNetConfig
+
+        u_cfg = UNetConfig()  # SD-1.5 production layout
+        unet = UNet2D(u_cfg)
         x_u = jnp.asarray(rng.normal(size=(2, 64, 64, u_cfg.in_channels)).astype(np.float32))
         t_u = jnp.full((2,), 500.0)
         ctx = jnp.asarray(rng.normal(size=(2, 77, u_cfg.context_dim)).astype(np.float32))
@@ -535,8 +552,10 @@ def bench_generative() -> dict:
         f_u = jax.jit(u_step)
         out["sd_unet_step_ms"] = round(chain2(f_u, x_u, 8, p_u), 1)
 
+    run_sect("sd_unet", 150, _sec_unet)
+
     # --- SVRM views->triplane at the mvd_std layout (7 views, 504^2).
-    if left() > 150:
+    def _sec_svrm():
         from labelany3d_tpu.models.svrm import SVRM, SVRMConfig
 
         s_cfg = SVRMConfig()
@@ -554,9 +573,11 @@ def bench_generative() -> dict:
         f_s = jax.jit(s_step)
         out["svrm_views_to_triplane_ms"] = round(chain2(f_s, views, 2, p_s), 1)
 
+    run_sect("svrm", 150, _sec_svrm)
+
     # --- Flash vs XLA attention at the DiT shape (16 heads x 4096 x 64):
     # the routing added for SVRM/TRELLIS dense attention, measured.
-    if left() > 90:
+    def _sec_attn():
         from labelany3d_tpu.ops.attention import flash_sdpa
 
         q = jnp.asarray(rng.normal(size=(1, 4096, 16, 64)).astype(np.float32))
@@ -574,6 +595,8 @@ def bench_generative() -> dict:
 
         out["attn_dit_flash_ms"] = round(chain2(jax.jit(a_flash), q, 16), 2)
         out["attn_dit_xla_ms"] = round(chain2(jax.jit(a_xla), q, 16), 2)
+
+    run_sect("attn_dit", 90, _sec_attn)
     return out
 
 

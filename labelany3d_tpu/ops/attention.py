@@ -76,6 +76,24 @@ def flash_sdpa(
     n_pad = -(-n // 128) * 128
     nk_pad = -(-nk // 128) * 128
     bq = _flash_block_q(n_pad)
+
+    def _block_k(nkp: int) -> int:
+        # Largest 128-multiple divisor of nkp whose (block_q, block_k)
+        # f32 score tile stays <= 4 MB: full K/V resident when it fits
+        # (the measured ViT-L/518 optimum), split otherwise — Mosaic's
+        # 16 MB scoped-VMEM stack overflows past ~4 MB score tiles
+        # (TRELLIS SLat at 8192 tokens: 512 x 8192 x 4 B = 16 MB).
+        m = nkp // 128
+        dmax = max(1, min(m, (1 << 20) // bq // 128))
+        return 128 * next(dd for dd in range(dmax, 0, -1) if m % dd == 0)
+
+    bk = _block_k(nk_pad)
+    if bk < min(512, nk_pad):
+        # Divisor-starved length (e.g. 9088 = 128 * 71 prime -> bk 128):
+        # re-pad K/V to a 512 multiple for a workable split; the extra
+        # <= 511 pad keys are masked via segment ids.
+        nk_pad = -(-nk // 512) * 512
+        bk = _block_k(nk_pad)
     pad_q, pad_k = n_pad - n, nk_pad - nk
 
     def prep(t, pad):
@@ -98,13 +116,6 @@ def flash_sdpa(
             jnp.zeros((b, n_pad), jnp.int32) if q_ids is None else q_ids,
             jnp.zeros((b, nk_pad), jnp.int32) if kv_ids is None else kv_ids,
         )
-    # Full K/V resident while the (block_q, block_k) f32 score tile stays
-    # <= 4 MB; above that (e.g. TRELLIS SLat at 8192 tokens: 512 x 8192
-    # x 4 B = 16 MB) Mosaic's 16 MB scoped-VMEM stack overflows, so halve
-    # block_k (power-of-two halving keeps it dividing nk_pad).
-    bk = nk_pad
-    while bq * bk > (1 << 20) and bk % 2 == 0 and bk >= 2048:
-        bk //= 2
     bs = BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bk,
