@@ -409,7 +409,7 @@ def bench_e2e_fast() -> dict:
         import jax
         import jax.numpy as jnp
 
-        batch = np.stack([img] * cfg.batch_size).astype(np.float32) / 255.0
+        batch = np.stack([img] * cfg.batch_size)  # uint8; normalized on device
         xb = jnp.asarray(batch)
         out = backend.infer(xb)
         acc = out["relative_depth"].sum()

@@ -152,6 +152,11 @@ class JaxDepthBackend:
             return self._jitted[(h, w)]
 
         def step(pm, pd, images):
+            if images.dtype == jnp.uint8:
+                # uint8 batches normalize on device: the host keeps the
+                # decoded bytes as-is and the (tunnel) transfer is 4x
+                # smaller than pre-normalized f32.
+                images = images.astype(jnp.float32) / 255.0
             m = moge_infer(self.moge, pm, images, apply_mask=True)
             K_pix = pixel_intrinsics_from_normalized(m["intrinsics"], w, h)
             f_px = K_pix[:, 0, 0]
@@ -179,7 +184,9 @@ class JaxDepthBackend:
     def infer(self, images: np.ndarray) -> dict:
         b, h, w, _ = images.shape
         self._ensure_params(h, w)
-        x = jnp.asarray(images, jnp.float32)
+        x = jnp.asarray(images)  # uint8 stays uint8 (normalized in-step)
+        if x.dtype not in (jnp.uint8, jnp.float32):
+            x = x.astype(jnp.float32)
         if self._mesh is not None and b % self._mesh.shape["data"] == 0:
             from labelany3d_tpu.parallel.mesh import shard_batch
 

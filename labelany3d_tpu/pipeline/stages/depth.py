@@ -43,6 +43,10 @@ class DepthStage:
         self.split = split
         self.write_ply = write_ply
         self._key = jax.random.PRNGKey(cfg.seed)
+        # depth_fusion must run as ONE program: eagerly it dispatches the
+        # RANSAC align op-by-op (hundreds of ops per batch; over the axon
+        # tunnel every eager op is a remote round trip).
+        self._fuse = jax.jit(depth_fusion)
 
     def _scene(self, image_info: dict) -> SceneDir:
         name = scene_dir_name(image_info["file_name"])
@@ -80,12 +84,13 @@ class DepthStage:
             group = pending.get(bucket, [])
             if not group:
                 return
-            # Bucket resizes already happened on the prefetch workers.
-            batch = np.stack([r for _, _, _, r in group]).astype(np.float32) / 255.0
+            # Bucket resizes already happened on the prefetch workers; the
+            # batch ships as uint8 (backend normalizes on device).
+            batch = np.stack([r for _, _, _, r in group])
             inflight.acquire()
             out = self.backend.infer(batch)
             self._key, sub = jax.random.split(self._key)
-            aligned_dev = depth_fusion(
+            aligned_dev = self._fuse(
                 out["relative_depth"], out["metric_depth"], out["depth_mask"], sub
             )
             snapshot = list(group)
@@ -117,7 +122,9 @@ class DepthStage:
             if not scene.input_image.exists():
                 from PIL import Image
 
-                Image.fromarray(img).save(scene.input_image)
+                # compress_level=1: ~3x faster PNG encode on the per-image
+                # host path; the artifact is an intermediate, not a deliverable.
+                Image.fromarray(img).save(scene.input_image, compress_level=1)
             if self.write_ply:
                 # depth_scene.ply + depth_scene_no_edge.ply artifact
                 # parity (depth.py:49,157).

@@ -49,5 +49,5 @@ def draw_cube_overlay(scene, is_ground: bool = False) -> str:
         )
     name = "vis_3dbox.png" if not is_ground else "vis_3dbox.png"
     out = os.path.join(str(scene.root), name)
-    cv2.imwrite(out, image)
+    cv2.imwrite(out, image, [cv2.IMWRITE_PNG_COMPRESSION, 1])
     return out
