@@ -67,6 +67,15 @@ def depth_fusion(
     return fn(relative_depth, metric_depth, mask, keys)
 
 
+def unpack_instance_masks(packed: jnp.ndarray, num_instances: int) -> jnp.ndarray:
+    """(..., H, W) bitfield -> (..., I, H, W) bool; inverse of
+    `stages.common.pack_instance_masks`, run on device inside the jitted
+    step so the host ships I-fold fewer mask bytes."""
+    bits = jnp.arange(num_instances, dtype=packed.dtype)
+    expanded = packed[..., None, :, :] >> bits[:, None, None]
+    return (expanded & 1).astype(bool)
+
+
 def label_instances(
     depth: jnp.ndarray,
     K: jnp.ndarray,

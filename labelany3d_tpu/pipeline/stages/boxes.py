@@ -20,9 +20,13 @@ import numpy as np
 
 from labelany3d_tpu.data.coconut import xywh_to_xyxy
 from labelany3d_tpu.pipeline.config import PipelineConfig
-from labelany3d_tpu.pipeline.labeling import label_instances
+from labelany3d_tpu.pipeline.labeling import label_instances, unpack_instance_masks
 from labelany3d_tpu.pipeline.scene import SceneDir, scene_dir_name
-from labelany3d_tpu.pipeline.stages.common import pad_instances, resize_nearest
+from labelany3d_tpu.pipeline.stages.common import (
+    pack_instance_masks,
+    pad_instances,
+    resize_nearest,
+)
 
 
 class BoxStage:
@@ -36,9 +40,11 @@ class BoxStage:
         self.split = split
         self.provider = instance_provider or CoconutInstanceProvider(loader)
         self._key = jax.random.PRNGKey(cfg.seed + 7)
+        # Masks arrive bit-packed ((B, H, W) bitfield, instance i in bit i)
+        # and unpack on device: I-fold fewer mask bytes over the tunnel.
         self._step = jax.jit(
-            lambda depth, K, masks, key: label_instances(
-                depth, K, masks, key,
+            lambda depth, K, packed, key: label_instances(
+                depth, K, unpack_instance_masks(packed, cfg.max_instances), key,
                 num_points=cfg.num_points, method=cfg.bbox_method,
             )
         )
@@ -72,8 +78,10 @@ class BoxStage:
         K_b[0] *= bw / ow
         K_b[1] *= bh / oh
         masks_p, kept = pad_instances(masks_b, cfg.max_instances)
+        # Pack on the prefetch worker (off the device-feed critical path).
+        packed = pack_instance_masks(masks_p)
         return (scene, inst.labels, xywh_to_xyxy(inst.bboxes), depth_b, K_b,
-                masks_p, kept)
+                packed, kept)
 
     def run(self, start_index: int, end_index: int) -> int:
         from concurrent.futures import ThreadPoolExecutor

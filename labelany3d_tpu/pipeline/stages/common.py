@@ -66,3 +66,20 @@ def pad_instances(masks: np.ndarray, max_instances: int) -> tuple[np.ndarray, np
     kept = np.zeros(max_instances, bool)
     kept[:n] = True
     return out, kept
+
+
+def pack_instance_masks(masks: np.ndarray) -> np.ndarray:
+    """(I, H, W) bool -> (H, W) bitfield, instance i in bit i.
+
+    Shrinks the host->device transfer of the box stage's padded mask
+    stack by I bytes/pixel (16 MB -> 2 MB per 4x16x512^2 batch over the
+    axon tunnel); `labeling.unpack_instance_masks` restores the boolean
+    stack on device. Requires I <= 32.
+    """
+    i, h, w = masks.shape
+    assert i <= 32, f"bit packing supports <=32 instance slots, got {i}"
+    dtype = np.uint8 if i <= 8 else np.uint16 if i <= 16 else np.uint32
+    out = np.zeros((h, w), dtype)
+    for b in range(i):
+        out[masks[b]] |= dtype(1 << b)
+    return out

@@ -66,6 +66,24 @@ def synthetic_world():
     return scene, img, depth, masks, gts, loader, source
 
 
+def test_mask_bitpack_roundtrip():
+    import jax
+
+    from labelany3d_tpu.pipeline.labeling import unpack_instance_masks
+    from labelany3d_tpu.pipeline.stages.common import pack_instance_masks
+
+    rng = np.random.default_rng(3)
+    for n_inst, dtype in ((5, np.uint8), (16, np.uint16), (32, np.uint32)):
+        masks = rng.uniform(size=(n_inst, 24, 40)) > 0.6
+        packed = pack_instance_masks(masks)
+        assert packed.dtype == dtype
+        # batched device unpack (as BoxStage ships it)
+        got = np.asarray(
+            jax.jit(lambda p: unpack_instance_masks(p, n_inst))(packed[None])
+        )[0]
+        np.testing.assert_array_equal(got, masks)
+
+
 def test_label_instances_analytic(synthetic_world):
     import jax
 
