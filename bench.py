@@ -769,6 +769,30 @@ def main():
     _enable_compile_cache()
     extra: dict = {}
     tpu_ips = 0.0
+    # Backend-init pre-flight IN A SUBPROCESS: a dead tunnel hangs
+    # `jax.devices()` inside C (gRPC wait) where SIGALRM cannot interrupt —
+    # observed for hours at a stretch. Probing in a child under a hard kill
+    # lets a degraded record land instead of hanging past the driver's
+    # timeout and losing the record entirely.
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=180.0, capture_output=True,
+        )
+        backend_ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        backend_ok = False
+    if not backend_ok:
+        extra["tunnel_dead"] = True
+        extra["tunnel_degraded"] = True
+        print(json.dumps({
+            "metric": "labeling_core_images_per_sec_512px_16inst",
+            "value": 0.0, "unit": "images/s", "vs_baseline": 0.0,
+            "extra": extra,
+        }))
+        return
     try:
         with _Alarm(120):
             extra["tunnel_probe_ms_pre"] = round(_tunnel_probe(), 2)
