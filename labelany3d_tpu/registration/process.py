@@ -34,6 +34,19 @@ from labelany3d_tpu.geometry.pnp import solve_pnp_ransac
 from labelany3d_tpu.registration.cameras import RENDER_K, RENDER_SIZE
 from labelany3d_tpu.registration.renderer import OrbitRenderer, RenderedView
 
+# Eagerly, the 256-trial RANSAC body is hundreds of per-op dispatches per
+# call (two calls per object; over the tunnel each op is a round trip).
+# Match counts are static (strided query grids + valid masks), so this
+# caches exactly one program per stage (8V*S and S correspondences).
+_pnp_jitted = jax.jit(
+    solve_pnp_ransac,
+    static_argnames=(
+        "num_trials", "sample_size", "reproj_threshold",
+        "refine_iterations", "min_inliers",
+    ),
+)
+_median_scale_jitted = jax.jit(median_ratio_scale)
+
 
 class MatcherBackend(Protocol):
     """2D-2D correspondences between the reference crop and one render.
@@ -125,7 +138,7 @@ def register_object(
     valid_all = np.concatenate(valids)
 
     k1, k2 = jax.random.split(key)
-    res1 = solve_pnp_ransac(
+    res1 = _pnp_jitted(
         jnp.asarray(obj_all), jnp.asarray(img_all), jnp.asarray(renderer.K),
         jnp.asarray(valid_all), k1, reproj_threshold=reproj_threshold,
     )
@@ -147,7 +160,7 @@ def register_object(
     ox, oy, scale_crop = crop_params
     xy_img = xy_ref / scale_crop + np.array([[ox, oy]])  # crop px -> image px
 
-    res2 = solve_pnp_ransac(
+    res2 = _pnp_jitted(
         jnp.asarray(world), jnp.asarray(xy_img.astype(np.float32)),
         jnp.asarray(K_img, jnp.float32), jnp.asarray(valid), k2,
         reproj_threshold=reproj_threshold,
@@ -165,7 +178,7 @@ def register_object(
 
     # Stage C: median-ratio metric scale (util.py:478-486).
     overlap = scene_mask & render_mask
-    s, has_overlap = median_ratio_scale(
+    s, has_overlap = _median_scale_jitted(
         jnp.asarray(scene_depth, jnp.float32), jnp.asarray(final.depth, jnp.float32),
         jnp.asarray(overlap),
     )
