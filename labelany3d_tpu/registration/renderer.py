@@ -49,8 +49,7 @@ class OrbitRenderer:
 
         Kj = jnp.asarray(K, jnp.float32)
 
-        @jax.jit
-        def render(verts, faces, colors_or_none, R, t):
+        def render_one(verts, faces, colors_or_none, R, t):
             cam = verts @ R.T + t
             out = rasterize_mesh(
                 cam, faces, Kj, image_size, faces_per_tile=self.faces_per_tile
@@ -58,8 +57,15 @@ class OrbitRenderer:
             rgba = shade_vertex_colors(out, faces, colors_or_none)
             return rgba, out.depth
 
-        self._jitted[key] = render
-        return render
+        render = jax.jit(render_one)
+        # Whole orbit in ONE program: the mesh uploads once and the V views
+        # vmap on device (sequentially this was V jit dispatches + V mesh
+        # uploads + V result round trips over the tunnel).
+        render_batch = jax.jit(
+            jax.vmap(render_one, in_axes=(None, None, None, 0, 0))
+        )
+        self._jitted[key] = (render, render_batch)
+        return self._jitted[key]
 
     @staticmethod
     def _bucket_faces(faces: np.ndarray, bucket: int = 2048) -> np.ndarray:
@@ -80,7 +86,7 @@ class OrbitRenderer:
         size = image_size or (self.image_size, self.image_size)
         Kn = self.K if K is None else K
         faces = self._bucket_faces(mesh.faces)
-        fn = self._render_fn(len(faces), tuple(size), Kn)
+        fn, _ = self._render_fn(len(faces), tuple(size), Kn)
         colors = None if mesh.colors is None else jnp.asarray(mesh.colors)
         rgba, depth = fn(
             jnp.asarray(mesh.vertices), jnp.asarray(faces), colors,
@@ -91,9 +97,19 @@ class OrbitRenderer:
     def render_orbit_views(
         self, mesh: Mesh, elevations, azimuths, radius: float = RENDER_DISTANCE
     ) -> list[RenderedView]:
-        """Parity: `renderer.py:83-106` (8 orbit views)."""
-        views = []
-        for elev, azim in zip(elevations, azimuths):
-            R, t = opencv_orbit_pose(float(elev), float(azim), radius)
-            views.append(self.render_pose(mesh, R, t))
-        return views
+        """Parity: `renderer.py:83-106` (8 orbit views), batched on device."""
+        poses = [opencv_orbit_pose(float(e), float(a), radius)
+                 for e, a in zip(elevations, azimuths)]
+        Rs = np.stack([p[0] for p in poses]).astype(np.float32)
+        ts = np.stack([p[1] for p in poses]).astype(np.float32)
+        size = (self.image_size, self.image_size)
+        faces = self._bucket_faces(mesh.faces)
+        _, fn_batch = self._render_fn(len(faces), size, self.K)
+        colors = None if mesh.colors is None else jnp.asarray(mesh.colors)
+        rgba, depth = fn_batch(
+            jnp.asarray(mesh.vertices), jnp.asarray(faces), colors,
+            jnp.asarray(Rs), jnp.asarray(ts),
+        )
+        rgba, depth = np.asarray(rgba), np.asarray(depth)
+        return [RenderedView(rgba[i], depth[i], Rs[i], ts[i])
+                for i in range(len(poses))]
