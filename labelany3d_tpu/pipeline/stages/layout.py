@@ -64,6 +64,13 @@ class LayoutStage:
         self.renderer = renderer
         self.num_box_points = num_box_points
         self._key = jax.random.PRNGKey(cfg.seed + 21)
+        # Jitted device programs (eagerly these dispatch per-op; over the
+        # tunnel each op is a round trip). Crop params ride as jnp args so
+        # per-object values do not retrace.
+        self._restore = jax.jit(
+            restore_mask_from_crop, static_argnames=("out_shape",)
+        )
+        self._fit = jax.jit(fit_boxes_batch, static_argnames=("method",))
 
     def _scene(self, info: dict) -> SceneDir:
         name = scene_dir_name(info["file_name"])
@@ -96,9 +103,10 @@ class LayoutStage:
                 crop_params = np.load(scene.crop_params(obj_id))
                 resized_mask = crop[:, :, 3] > 127
                 mask = np.asarray(
-                    restore_mask_from_crop(
-                        jnp.asarray(resized_mask), float(crop_params[0]),
-                        float(crop_params[1]), float(crop_params[2]), image_hw,
+                    self._restore(
+                        jnp.asarray(resized_mask),
+                        jnp.float32(crop_params[0]), jnp.float32(crop_params[1]),
+                        jnp.float32(crop_params[2]), out_shape=image_hw,
                     )
                 )
                 elev_path = scene.elevation(obj_id)
@@ -162,7 +170,14 @@ class LayoutStage:
         )
         ups = np.stack([u[:3] for _, _, u in placed]).astype(np.float32)
         valid = np.ones((n, self.num_box_points), bool)
-        boxes = fit_boxes_batch(
+        # Pad the object count to the config slot count so varying per-scene
+        # object counts hit one compiled program.
+        n_pad = max(self.cfg.max_instances, n)
+        if n_pad != n:
+            pts = np.concatenate([pts, np.zeros((n_pad - n, *pts.shape[1:]), pts.dtype)])
+            ups = np.concatenate([ups, np.tile([[0.0, 1.0, 0.0]], (n_pad - n, 1)).astype(np.float32)])
+            valid = np.concatenate([valid, np.zeros((n_pad - n, self.num_box_points), bool)])
+        boxes = self._fit(
             jnp.asarray(pts, jnp.float32), jnp.asarray(valid), jnp.asarray(ups),
             method=self.cfg.bbox_method,
         )
