@@ -33,7 +33,10 @@ def _index_by_image(data: dict) -> dict:
 
 def compare_coco3d(ours: dict, theirs: dict, grid: int = 32) -> dict:
     """Match + score two loaded COCO3D dicts; returns summary stats."""
+    import jax
     import jax.numpy as jnp
+
+    iou_fn = jax.jit(box3d_iou, static_argnames=("grid",))
 
     ours_ix = _index_by_image(ours)
     theirs_ix = _index_by_image(theirs)
@@ -54,7 +57,7 @@ def compare_coco3d(ours: dict, theirs: dict, grid: int = 32) -> dict:
                 continue  # not the same object
             ca = jnp.asarray(a_list[i]["bbox3D_cam"], jnp.float32)
             cb = jnp.asarray(b_list[j]["bbox3D_cam"], jnp.float32)
-            ious.append(float(box3d_iou(ca, cb, grid=grid)))
+            ious.append(float(iou_fn(ca, cb, grid=grid)))
             matched += 1
 
     return {
