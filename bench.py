@@ -386,15 +386,26 @@ def bench_e2e_fast() -> dict:
         MoGeConfig.vitl(), DepthProConfig(), pin_hw=(size, size), use_mesh=False
     )
 
+    from labelany3d_tpu.pipeline.stages.fused import FusedFastStage
+
     tmp = tempfile.mkdtemp(prefix="la3d_bench_")
     try:
         # Warmup shard: carries the jit compiles of the fused depth program
         # and the boxfit program so the timed shard measures steady state.
         DepthStage(cfg, backend, loader, source, tmp + "/warm", "val").run(0, min(4, n_images))
         BoxStage(cfg, loader, tmp + "/warm", "val").run(0, min(4, n_images))
+        FusedFastStage(cfg, backend, loader, source, tmp + "/warmf", "val").run(0, min(4, n_images))
 
-        # Per-phase breakdown (round-2 verdict: the shard was timed as one
-        # block; nothing said where the wall clock went).
+        # Primary: the runner's `fast` mode — depth + boxes fused into one
+        # device pass per batch, artifacts written once (stages/fused.py).
+        tf0 = time.perf_counter()
+        FusedFastStage(cfg, backend, loader, source, tmp + "/runf", "val").run(0, n_images)
+        ExportStage(tmp + "/runf", "val").run()
+        fused_dt = time.perf_counter() - tf0
+
+        # Secondary: the resumable stage chain, with the per-phase breakdown
+        # (round-2 verdict: the shard was timed as one block; nothing said
+        # where the wall clock went).
         t0 = time.perf_counter()
         DepthStage(cfg, backend, loader, source, tmp + "/run", "val").run(0, n_images)
         t1 = time.perf_counter()
@@ -424,8 +435,11 @@ def bench_e2e_fast() -> dict:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
-        "e2e_fast_images_per_sec": round(n_images / dt, 2),
-        "e2e_vs_host": round((n_images / dt) / PINNED_HOST_E2E_IPS, 2),
+        # primary = the runner's production `fast` mode (fused pass)
+        "e2e_fast_images_per_sec": round(n_images / fused_dt, 2),
+        "e2e_vs_host": round((n_images / fused_dt) / PINNED_HOST_E2E_IPS, 2),
+        # resumable stage chain, for comparison + phase breakdown
+        "e2e_stagechain_images_per_sec": round(n_images / dt, 2),
         "e2e_depth_stage_s": round(t1 - t0, 2),
         "e2e_box_stage_s": round(t2 - t1, 2),
         "e2e_export_s": round(t3 - t2, 2),

@@ -170,6 +170,18 @@ def main(argv=None) -> int:
         print(f"[layout] processed {n} images")
         return n
 
+    def run_fused():
+        from labelany3d_tpu.models.registry import get_model
+        from labelany3d_tpu.pipeline.stages.fused import FusedFastStage
+
+        preset = "tiny_test" if bool(cfg_node.models.tiny) else str(cfg_node.models.moge.preset)
+        backend = get_model("depth", preset=preset, pin_hw=cfg.bucket_sizes()[0])
+        n = FusedFastStage(cfg, backend, loader, source, args.save_dir,
+                           args.split, instance_provider=provider,
+                           ).run(args.start_index, args.end_index)
+        print(f"[fast] processed {n} images")
+        return n
+
     dispatch = {
         "depth": [run_depth],
         "enhance": [run_enhance],
@@ -180,7 +192,9 @@ def main(argv=None) -> int:
         "layout": [run_layout],
         "boxes": [run_boxes],
         "export": [run_export],
-        "fast": [run_depth, run_crops, run_boxes, run_export],
+        # depth + boxes fused into one device pass per batch (artifacts
+        # identical to the stage chain); crops stays a separate pass.
+        "fast": [run_fused, run_crops, run_export],
         "all": [run_depth, run_enhance, run_crops, run_completion,
                 run_elevation, run_reconstruction, run_layout, run_export],
     }

@@ -16,18 +16,27 @@ _EDGES = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
           (0, 4), (1, 5), (2, 6), (3, 7)]
 
 
-def draw_cube_overlay(scene, is_ground: bool = False) -> str:
-    """Render `vis_3dbox.png` for a SceneDir; returns the output path."""
+def draw_cube_overlay(scene, is_ground: bool = False, image: np.ndarray | None = None,
+                      K: np.ndarray | None = None, cubes: list | None = None) -> str:
+    """Render `vis_3dbox.png` for a SceneDir; returns the output path.
+
+    `image`/`K`/`cubes` may be passed directly (RGB uint8 array, 3x3, parsed
+    bbox list) to skip the artifact re-reads when the caller already holds
+    them in memory (the fused fast stage)."""
     import cv2
 
-    cam = json.loads((scene.root / "cam_params.json").read_text())
-    K = np.asarray(cam["K"], np.float64)
-    bbox_file = scene.bbox3d_ground if is_ground else scene.bbox3d
-    cubes = json.loads(bbox_file.read_text())
-    image = cv2.cvtColor(
-        np.asarray(__import__("PIL.Image", fromlist=["Image"]).open(scene.input_image).convert("RGB")),
-        cv2.COLOR_RGB2BGR,
-    )
+    if K is None:
+        cam = json.loads((scene.root / "cam_params.json").read_text())
+        K = np.asarray(cam["K"], np.float64)
+    K = np.asarray(K, np.float64)
+    if cubes is None:
+        bbox_file = scene.bbox3d_ground if is_ground else scene.bbox3d
+        cubes = json.loads(bbox_file.read_text())
+    if image is None:
+        image = np.asarray(
+            __import__("PIL.Image", fromlist=["Image"]).open(scene.input_image).convert("RGB")
+        )
+    image = cv2.cvtColor(np.ascontiguousarray(image), cv2.COLOR_RGB2BGR)
     for cube in cubes:
         verts = np.asarray(cube["bbox3D_cam"], np.float64)
         uvw = verts @ K.T

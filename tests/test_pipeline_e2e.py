@@ -155,6 +155,40 @@ def test_full_pipeline_stages(tmp_path, synthetic_world):
     assert saved["info"]["id"] == 22
 
 
+def test_fused_fast_stage_matches_chain(tmp_path, synthetic_world):
+    """FusedFastStage writes the union of DepthStage+BoxStage artifacts and
+    its boxes match the stage chain's against the analytic ground truth."""
+    from labelany3d_tpu.pipeline.stages.fused import FusedFastStage
+
+    scene, img, depth, masks, gts, loader, source = synthetic_world
+    save_dir = str(tmp_path / "fused")
+    cfg = PipelineConfig(
+        batch_size=2, max_instances=8, num_points=512,
+        image_height=scene.height, image_width=scene.width, use_fakes=True,
+    )
+    backend = FakeDepthBackend(depth[None], scene.intrinsics())
+    n = FusedFastStage(cfg, backend, loader, source, save_dir, "val").run(0, 1)
+    assert n == 1
+    sd = SceneDir(f"{save_dir}/val/{scene_dir_name('000000000042.jpg')}")
+    # Union of both stages' artifacts, written in one pass.
+    assert sd.depth_done() and sd.boxes_done()
+    assert sd.input_image.exists()
+    assert (sd.root / "vis_3dbox.png").exists()
+    stored_depth = sd.read_depth()
+    mask_all = np.isfinite(depth)
+    np.testing.assert_allclose(stored_depth[mask_all], depth[mask_all], rtol=2e-2)
+    bbox_list = sd.read_bbox3d()
+    assert len(bbox_list) == 2
+    for b in bbox_list:
+        gt = gts[int(b["obj_id"])]
+        np.testing.assert_allclose(b["center_cam"], gt["center"], atol=0.2)
+    # Resume: everything done -> 0 processed.
+    backend2 = FakeDepthBackend(depth[None], scene.intrinsics())
+    assert FusedFastStage(cfg, backend2, loader, source, save_dir, "val").run(0, 1) == 0
+    out = ExportStage(save_dir, "val").run()
+    assert len(out["images"]) == 1 and len(out["annotations"]) == 2
+
+
 def test_pipeline_resume_skips_done(tmp_path, synthetic_world):
     scene, img, depth, masks, gts, loader, source = synthetic_world
     save_dir = str(tmp_path / "results")
