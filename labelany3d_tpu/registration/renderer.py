@@ -42,17 +42,18 @@ class OrbitRenderer:
         self.faces_per_tile = faces_per_tile
         self._jitted = {}
 
-    def _render_fn(self, num_faces: int, image_size: tuple[int, int], K):
-        key = (num_faces, image_size, tuple(np.asarray(K).ravel().tolist()))
+    def _render_fn(self, num_faces: int, image_size: tuple[int, int]):
+        # K rides as a traced argument: stage B renders at the per-scene
+        # full-image intrinsics, and baking K into the program would
+        # recompile for every scene.
+        key = (num_faces, image_size)
         if key in self._jitted:
             return self._jitted[key]
 
-        Kj = jnp.asarray(K, jnp.float32)
-
-        def render_one(verts, faces, colors_or_none, R, t):
+        def render_one(verts, faces, colors_or_none, K, R, t):
             cam = verts @ R.T + t
             out = rasterize_mesh(
-                cam, faces, Kj, image_size, faces_per_tile=self.faces_per_tile
+                cam, faces, K, image_size, faces_per_tile=self.faces_per_tile
             )
             rgba = shade_vertex_colors(out, faces, colors_or_none)
             return rgba, out.depth
@@ -62,7 +63,7 @@ class OrbitRenderer:
         # vmap on device (sequentially this was V jit dispatches + V mesh
         # uploads + V result round trips over the tunnel).
         render_batch = jax.jit(
-            jax.vmap(render_one, in_axes=(None, None, None, 0, 0))
+            jax.vmap(render_one, in_axes=(None, None, None, None, 0, 0))
         )
         self._jitted[key] = (render, render_batch)
         return self._jitted[key]
@@ -86,11 +87,11 @@ class OrbitRenderer:
         size = image_size or (self.image_size, self.image_size)
         Kn = self.K if K is None else K
         faces = self._bucket_faces(mesh.faces)
-        fn, _ = self._render_fn(len(faces), tuple(size), Kn)
+        fn, _ = self._render_fn(len(faces), tuple(size))
         colors = None if mesh.colors is None else jnp.asarray(mesh.colors)
         rgba, depth = fn(
             jnp.asarray(mesh.vertices), jnp.asarray(faces), colors,
-            jnp.asarray(R), jnp.asarray(t),
+            jnp.asarray(Kn, jnp.float32), jnp.asarray(R), jnp.asarray(t),
         )
         return RenderedView(np.asarray(rgba), np.asarray(depth), np.asarray(R), np.asarray(t))
 
@@ -104,11 +105,11 @@ class OrbitRenderer:
         ts = np.stack([p[1] for p in poses]).astype(np.float32)
         size = (self.image_size, self.image_size)
         faces = self._bucket_faces(mesh.faces)
-        _, fn_batch = self._render_fn(len(faces), size, self.K)
+        _, fn_batch = self._render_fn(len(faces), size)
         colors = None if mesh.colors is None else jnp.asarray(mesh.colors)
         rgba, depth = fn_batch(
             jnp.asarray(mesh.vertices), jnp.asarray(faces), colors,
-            jnp.asarray(Rs), jnp.asarray(ts),
+            jnp.asarray(self.K, jnp.float32), jnp.asarray(Rs), jnp.asarray(ts),
         )
         rgba, depth = np.asarray(rgba), np.asarray(depth)
         return [RenderedView(rgba[i], depth[i], Rs[i], ts[i])
