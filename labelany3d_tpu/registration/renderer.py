@@ -87,13 +87,21 @@ class OrbitRenderer:
         size = image_size or (self.image_size, self.image_size)
         Kn = self.K if K is None else K
         faces = self._bucket_faces(mesh.faces)
-        fn, _ = self._render_fn(len(faces), tuple(size))
+        # Stage B renders at per-scene full-image sizes; pad the raster grid
+        # to a 64-multiple bucket and slice back so mixed-size datasets hit
+        # one compiled program per bucket (pixels are independent rays, so
+        # the inner crop is identical to rendering the exact size).
+        ph = ((size[0] + 63) // 64) * 64
+        pw = ((size[1] + 63) // 64) * 64
+        fn, _ = self._render_fn(len(faces), (ph, pw))
         colors = None if mesh.colors is None else jnp.asarray(mesh.colors)
         rgba, depth = fn(
             jnp.asarray(mesh.vertices), jnp.asarray(faces), colors,
             jnp.asarray(Kn, jnp.float32), jnp.asarray(R), jnp.asarray(t),
         )
-        return RenderedView(np.asarray(rgba), np.asarray(depth), np.asarray(R), np.asarray(t))
+        rgba = np.asarray(rgba)[: size[0], : size[1]]
+        depth = np.asarray(depth)[: size[0], : size[1]]
+        return RenderedView(rgba, depth, np.asarray(R), np.asarray(t))
 
     def render_orbit_views(
         self, mesh: Mesh, elevations, azimuths, radius: float = RENDER_DISTANCE
