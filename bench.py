@@ -41,12 +41,19 @@ B, H, W, I, PTS = 8, 512, 512, 16, 512
 TPU_WARMUP_ITERS = 10   # tunnel cold-start; see bench_tpu timing notes
 TPU_TIMED_ITERS = 50
 HOST_TIMED_IMAGES = 3
-# Wall-clock budget for the extra (config 3-5 + generative) sub-benches:
-# each starts only if this much time remains, so the headline JSON line
-# always lands. 1700s leaves the e2e shard (the last, compile-heaviest
-# config) a real window after headline+depth+registration+generative
-# (~600s all together warm; cold compiles persist to /tmp/la3d_jax_cache).
+# Wall-clock budget for the whole bench (headline + config 3-5 +
+# generative). The headline gets its OWN alarm (HEADLINE_BUDGET_S) and each
+# sub-bench both (a) only starts if its floor remains and (b) runs under an
+# alarm that reserves the floors of the sections AFTER it — so one degraded
+# section can never eat every later section's window (r03 failure mode:
+# the headline ran under the full 1700s alarm on a sick tunnel, consumed
+# ~1600s, and all four sub-benches were skipped). Warm-cache full run is
+# ~600s; cold compiles persist to /tmp/la3d_jax_cache.
 EXTRA_BUDGET_S = 1700.0
+# Headline cap: 3 timed windows of 50 iters @ ~0.015s/batch is ~30s warm;
+# 420s absorbs a cold compile + slow program load with a wide margin.
+HEADLINE_BUDGET_S = 420.0
+HEADLINE_RETRY_S = 180.0
 # Internal gate for bench_generative's per-model sections (each model is a
 # separate tunnel program load; a degraded tunnel should yield a partial
 # record, not eat the whole extras budget).
@@ -813,7 +820,9 @@ def main():
     except Exception as e:
         extra["tunnel_probe_ms_pre"] = f"{type(e).__name__}"[:40]
     try:
-        with _Alarm(EXTRA_BUDGET_S):
+        # Own alarm — NOT the full budget (r03: a degraded-tunnel headline
+        # under _Alarm(EXTRA_BUDGET_S) starved every sub-bench).
+        with _Alarm(HEADLINE_BUDGET_S):
             tpu_ips = bench_tpu(rel, metric, dmask, K, masks)
     except Exception as e:  # value 0.0 + error beats a hung, lost record
         extra["headline_error"] = f"{type(e).__name__}: {e}"[:200]
@@ -821,24 +830,29 @@ def main():
         global TPU_WARMUP_ITERS, TPU_TIMED_ITERS
         TPU_WARMUP_ITERS, TPU_TIMED_ITERS = 1, 5
         try:
-            with _Alarm(240):
+            with _Alarm(HEADLINE_RETRY_S):
                 tpu_ips = bench_tpu(rel, metric, dmask, K, masks)
             extra["headline_note"] = "short-window fallback (5 iters)"
         except Exception as e2:
             extra["headline_retry_error"] = f"{type(e2).__name__}: {e2}"[:200]
     # generative runs BEFORE e2e: the e2e shard's first-run program loads
     # can eat the remaining budget, and the generative numbers must land
-    # in every record (VERDICT r2 item 5).
-    for name, fn, min_left in (("depth", bench_depth_models, 240.0),
-                               ("registration", bench_registration, 200.0),
-                               ("generative", bench_generative, 240.0),
-                               ("e2e", bench_e2e_fast, 180.0)):
+    # in every record (VERDICT r2 item 5). Each section's alarm is capped
+    # so the floors of all LATER sections stay reserved: depth cannot eat
+    # registration's window, generative cannot eat e2e's, etc.
+    sections = [("depth", bench_depth_models, 240.0),
+                ("registration", bench_registration, 200.0),
+                ("generative", bench_generative, 300.0),
+                ("e2e", bench_e2e_fast, 180.0)]
+    for idx, (name, fn, floor) in enumerate(sections):
         left = EXTRA_BUDGET_S - (time.perf_counter() - _T_START)
-        if left < min_left:
+        if left < floor:
             extra[f"{name}_skipped"] = f"budget ({left:.0f}s left)"
             continue
+        reserved_later = sum(f for _, _, f in sections[idx + 1:])
+        window = max(floor, left - reserved_later)
         try:
-            with _Alarm(left):
+            with _Alarm(window):
                 t_sub = time.perf_counter()
                 extra.update(fn())
                 extra[f"{name}_window_s"] = round(time.perf_counter() - t_sub, 1)
@@ -847,14 +861,16 @@ def main():
     try:
         with _Alarm(60):
             extra["tunnel_probe_ms_post"] = round(_tunnel_probe(), 2)
-            pre = extra.get("tunnel_probe_ms_pre")
-            vals = [v for v in (pre, extra["tunnel_probe_ms_post"])
-                    if isinstance(v, (int, float))]
-            # Self-explaining health flag: a quiet tunnel probes ~1-5 ms.
-            extra["tunnel_degraded"] = bool(vals and max(vals) > 25.0)
     except Exception as e:
         extra["tunnel_probe_ms_post"] = f"{type(e).__name__}"[:40]
-        extra["tunnel_degraded"] = True
+    # Self-explaining health flag: a quiet tunnel probes ~1-5 ms. A probe
+    # that RAISED (recorded as a string) is the strongest degradation
+    # signal of all — r03 shipped tunnel_degraded=false on a run whose
+    # pre-probe timed out because raised probes were filtered out here.
+    probes = [extra.get("tunnel_probe_ms_pre"), extra.get("tunnel_probe_ms_post")]
+    extra["tunnel_degraded"] = any(
+        not isinstance(v, (int, float)) or v > 25.0 for v in probes
+    )
     print(
         json.dumps(
             {
