@@ -166,7 +166,13 @@ def restore_mask_from_crop(
     crop = jnp.asarray(resized_mask)
     crop_size = crop.shape[-1]
     oh, ow = out_shape
-    ocs = jnp.floor(jnp.float32(crop_size) / scale).astype(jnp.int32)  # int(crop/scale)
+    # int(crop/scale): scale = crop_size/side_len with integer side_len, so
+    # the quotient is mathematically an integer — but float32 can land a
+    # hair BELOW it (256/float32(2.048) = 124.99999 vs the reference's
+    # float64 125), and a bare floor then loses a whole pixel of paste
+    # size. Nudge by one ulp-scale epsilon before flooring.
+    q = jnp.float32(crop_size) / scale
+    ocs = jnp.floor(q * (1.0 + 1e-6)).astype(jnp.int32)
     ocs = jnp.maximum(ocs, 1)
     x1 = jnp.round(offset_x).astype(jnp.int32)
     y1 = jnp.round(offset_y).astype(jnp.int32)
