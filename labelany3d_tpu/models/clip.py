@@ -83,10 +83,21 @@ class CLIPVisionConfig:
         return CLIPVisionConfig(**kw)
 
     @staticmethod
-    def tiny_test(**kw) -> "CLIPVisionConfig":
+    def bigg14(**kw) -> "CLIPVisionConfig":
+        """laion/CLIP-ViT-bigG-14 vision tower (SDXL's second image/text
+        conditioner family; Hunyuan3D mvd_std `vision_encoder_2`,
+        `mvd/hunyuan3d_mvd_std_pipeline.py:196-198`). gelu (not quick_gelu)
+        activation, 1280-dim projection."""
         return CLIPVisionConfig(
-            image_size=32, patch_size=8, width=32, depth=2, num_heads=2,
-            projection_dim=16, **kw,
+            width=1664, depth=48, num_heads=16, mlp_ratio=8192 / 1664,
+            projection_dim=1280, hidden_act="gelu", **kw,
+        )
+
+    @staticmethod
+    def tiny_test(**kw) -> "CLIPVisionConfig":
+        kw.setdefault("projection_dim", 16)
+        return CLIPVisionConfig(
+            image_size=32, patch_size=8, width=32, depth=2, num_heads=2, **kw,
         )
 
 

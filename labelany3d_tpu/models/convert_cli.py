@@ -220,6 +220,24 @@ def _trellis_slat_mesh(state, tiny, cfg_json=None):
 
 
 # registry name -> converter(state, tiny) with the production config
+def _mvd(state, tiny, cfg_json=None):
+    """Hunyuan3D `weights/mvd_std` (SDXL + reference attention). `state`
+    is either a bare UNet state dict or the dict `_load_mvd_dir` builds
+    from the diffusers pipeline directory."""
+    from labelany3d_tpu.models.diffusion.convert import convert_mvd
+
+    if "components" in state:
+        comp = dict(state["components"])
+        if cfg_json:
+            comp.setdefault("unet_cfg_json", cfg_json)
+        return convert_mvd(**comp)
+    from labelany3d_tpu.models.diffusion.mvd import MVDUNetConfig
+
+    cfg = (MVDUNetConfig.from_hf_json(cfg_json) if cfg_json
+           else (MVDUNetConfig.tiny_test() if tiny else MVDUNetConfig()))
+    return convert_mvd(unet_state=state, unet_cfg=cfg)
+
+
 CONVERTERS = {
     "moge": _moge,
     "depth_pro": _depth_pro,
@@ -240,6 +258,7 @@ CONVERTERS = {
     "trellis_slat_mesh": _trellis_slat_mesh,
     "svrm": _svrm,
     "zero123": _zero123,
+    "mvd": _mvd,
 }
 
 
@@ -264,6 +283,57 @@ def _load_zero123_dir(root: str) -> dict:
     return {"components": comp}
 
 
+def _load_mvd_dir(root: str) -> dict:
+    """Hunyuan3D `weights/mvd_std` diffusers pipeline dir -> component
+    state dicts for `convert_mvd` (`hunyuan3d_mvd_std_pipeline.py:188-204`,
+    `:455-472`: unet/, vae/, vision_encoder{,_2}/, uc_text_emb{,_2}.pt,
+    ramping_coefficients in model_index.json or config.json)."""
+    import glob
+    import json
+    import os
+
+    def find(*subs):
+        for sub in subs:
+            for pat in ("*.safetensors", "*.bin", "*.pt"):
+                hits = sorted(glob.glob(os.path.join(root, sub, pat)))
+                if hits:
+                    return _load_state(hits[0])
+        return None
+
+    comp: dict = {
+        "unet_state": find("unet"),
+        "vae_state": find("vae"),
+        "vision_state": find("vision_encoder", "image_encoder"),
+        "vision2_state": find("vision_encoder_2", "image_encoder_2"),
+    }
+    ucfg = os.path.join(root, "unet", "config.json")
+    if os.path.exists(ucfg):
+        with open(ucfg) as f:
+            comp["unet_cfg_json"] = json.load(f)
+    for key, fname in (("uc_text_emb", "uc_text_emb.pt"),
+                       ("uc_text_emb_2", "uc_text_emb_2.pt")):
+        p = os.path.join(root, fname)
+        if os.path.exists(p):
+            # uc_text_emb{,_2}.pt are RAW tensors, not state dicts
+            # (`hunyuan3d_mvd_std_pipeline.py:462-472` torch.save/load).
+            import numpy as np
+            import torch
+
+            t = torch.load(p, map_location="cpu", weights_only=True)
+            if isinstance(t, dict):
+                t = next(iter(t.values()))
+            comp[key] = t.numpy() if hasattr(t, "numpy") else np.asarray(t)
+    for cfg_name in ("model_index.json", "config.json"):
+        p = os.path.join(root, cfg_name)
+        if os.path.exists(p):
+            with open(p) as f:
+                cfg = json.load(f)
+            if "ramping_coefficients" in cfg:
+                comp["ramping_coefficients"] = cfg["ramping_coefficients"]
+                break
+    return {"components": comp}
+
+
 def main(argv=None) -> str:
     ap = argparse.ArgumentParser(
         description="Convert a released torch checkpoint to an orbax "
@@ -283,7 +353,18 @@ def main(argv=None) -> str:
 
     from labelany3d_tpu.models.checkpoints import save_params
 
-    state = _load_state(args.checkpoint)
+    import os
+
+    if os.path.isdir(args.checkpoint):
+        # diffusers pipeline snapshot dirs (multi-component checkpoints)
+        dir_loaders = {"zero123": _load_zero123_dir, "mvd": _load_mvd_dir}
+        if args.model not in dir_loaders:
+            raise SystemExit(
+                f"{args.model} expects a checkpoint FILE; directory input "
+                f"is supported for {sorted(dir_loaders)}")
+        state = dir_loaders[args.model](args.checkpoint)
+    else:
+        state = _load_state(args.checkpoint)
     fn = CONVERTERS[args.model]
     import inspect
 

@@ -133,13 +133,22 @@ class Decoder(nn.Module):
 
 
 class AutoencoderKL:
-    """Paired encoder/decoder with SD latent scaling."""
+    """Paired encoder/decoder with SD latent scaling.
 
-    def __init__(self, cfg: VAEConfig | None = None, seed: int = 0):
+    `scaling_factor` defaults to the SD-1.x 0.18215; SDXL-family
+    checkpoints (e.g. Hunyuan3D mvd_std's vae) ship 0.13025 in their
+    config.json. `encode(scale=False)` returns the raw posterior sample
+    (diffusers `encode_image(scale_factor=False)` parity,
+    `mvd/hunyuan3d_mvd_std_pipeline.py:221-223`).
+    """
+
+    def __init__(self, cfg: VAEConfig | None = None, seed: int = 0,
+                 scaling_factor: float = SD_LATENT_SCALE):
         self.cfg = cfg or VAEConfig()
         self.encoder = Encoder(self.cfg)
         self.decoder = Decoder(self.cfg)
         self.params: dict | None = None
+        self.scaling_factor = scaling_factor
         self._seed = seed
 
     def init_params(self, image_size: int = 64) -> dict:
@@ -152,11 +161,13 @@ class AutoencoderKL:
         self.params = {"encoder": enc, "decoder": dec}
         return self.params
 
-    def encode(self, images: jnp.ndarray, key=None) -> jnp.ndarray:
+    def encode(self, images: jnp.ndarray, key=None, scale: bool = True) -> jnp.ndarray:
         mean, logvar = self.encoder.apply({"params": self.params["encoder"]}, images)
         if key is not None:
             mean = mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape)
-        return mean * SD_LATENT_SCALE
+        return mean * self.scaling_factor if scale else mean
 
-    def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
-        return self.decoder.apply({"params": self.params["decoder"]}, latents / SD_LATENT_SCALE)
+    def decode(self, latents: jnp.ndarray, scale: bool = True) -> jnp.ndarray:
+        if scale:
+            latents = latents / self.scaling_factor
+        return self.decoder.apply({"params": self.params["decoder"]}, latents)

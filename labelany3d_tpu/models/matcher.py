@@ -294,7 +294,8 @@ class TwoViewMatcher(nn.Module):
     cfg: MatcherConfig
 
     @nn.compact
-    def __call__(self, img0: jnp.ndarray, img1: jnp.ndarray) -> dict:
+    def __call__(self, img0: jnp.ndarray, img1: jnp.ndarray,
+                 ref_index: jnp.ndarray | None = None) -> dict:
         """img0/img1: (B, H, W, 3) -> per-view pts3d/conf/desc maps.
 
         When img0 has batch 1 and img1 batch V > 1 (the registration orbit:
@@ -303,6 +304,13 @@ class TwoViewMatcher(nn.Module):
         and its tokens broadcast — V+1 encoder rows instead of 2V. The
         decoder/heads still run per pair (cross-attention differs per
         view). Outputs are bitwise those of pre-broadcasting img0.
+
+        `ref_index` (P,) generalizes to MANY references: img0 has R rows,
+        img1 has P rows, and pair p matches img1[p] against
+        img0[ref_index[p]] — R + P encoder rows instead of 2P. This is the
+        whole-image registration batch (all of an image's objects x their
+        orbit views in one forward); the reference runs each pair as a
+        separate bs=1 MASt3R call.
         """
         cfg = self.cfg
         b, h, w, _ = img0.shape
@@ -310,7 +318,9 @@ class TwoViewMatcher(nn.Module):
         enc = ViT(cfg.encoder, name="encoder")(jnp.concatenate([img0, img1], axis=0))
         gh, gw = enc["grid"]
         t0, t1 = jnp.split(enc["tokens"], [b], axis=0)
-        if b == 1 and b1 > 1:
+        if ref_index is not None:
+            t0 = jnp.take(t0, jnp.asarray(ref_index, jnp.int32), axis=0)
+        elif b == 1 and b1 > 1:
             t0 = jnp.broadcast_to(t0, (b1,) + t0.shape[1:])
 
         proj = nn.Dense(cfg.dec_width, dtype=cfg.dtype, name="dec_embed")

@@ -514,11 +514,17 @@ class SVRMReconstruction:
             a = rgba[..., 3:4].astype(np.float32) / 255.0
             rgb_in = (rgb_in * a + 255 * (1 - a)).astype(np.uint8)
 
+        # mvd-style generators produce ALL six orbit views (including
+        # azimuth 0) from one grid run — the reference predictor never
+        # reuses the input image as an orbit view on that path
+        # (`infer/image_to_views.py:101-103`). Zero123-style per-view
+        # generators keep the input as the azimuth-0 view.
+        gen_zero = getattr(self.novel_views, "provides_zero_view", False)
         views, cams = [], []
         for i in range(n_orbit):
             el = self.ELEVATIONS[i % len(self.ELEVATIONS)]
             az = self.AZIMUTHS[i % len(self.AZIMUTHS)]
-            if self.novel_views is not None and (el, az) != (0.0, 0.0):
+            if self.novel_views is not None and (gen_zero or (el, az) != (0.0, 0.0)):
                 img = self.novel_views.generate(crop_rgba, el, az)
             else:
                 img = rgb_in

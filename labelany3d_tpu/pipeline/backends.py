@@ -274,8 +274,21 @@ class JaxMatcherBackend:
                 ]
                 return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *res)
 
+            # Whole-image batch: R reference crops x P rendered views with
+            # pair p = (refs[ref_index[p]], views[p]) — R + P encoder rows
+            # in ONE forward; the NN pass maps over pairs (one compiled
+            # body, not P unrolled kernels).
+            def step_pairs(params, refs, views, ref_index):
+                out = self.model.apply({"params": params}, refs, views,
+                                       ref_index=ref_index)
+                return jax.lax.map(
+                    lambda dd: reciprocal_nn_match(dd[0], dd[1]),
+                    (out["desc0"], out["desc1"]),
+                )
+
             self._jitted = jax.jit(step)
             self._jitted_batch = jax.jit(step_batch)
+            self._jitted_pairs = jax.jit(step_pairs)
 
     def _prep_ref(self, ref_rgba: np.ndarray, h: int, w: int) -> np.ndarray:
         ref = np.asarray(ref_rgba, np.float32)[..., :3]
@@ -310,6 +323,36 @@ class JaxMatcherBackend:
         xy0, xy1, valid = (np.asarray(res.xy0), np.asarray(res.xy1),
                            np.asarray(res.valid))
         return [(xy0[v], xy1[v], valid[v]) for v in range(len(views))]
+
+    def match_pairs(self, refs: list[np.ndarray], views,
+                    ref_index: list[int]) -> list[tuple]:
+        """All of an image's (reference crop, rendered view) pairs in one
+        matcher forward (`registration/process.py::register_objects`).
+        Counts are bucketed (refs to a power of two, pairs to the same
+        ratio) so per-image instance-count variation reuses programs."""
+        if not views:
+            return []
+        h, w = views[0].rgba.shape[:2]
+        self._ensure(h, w)
+        R, P = len(refs), len(views)
+        Rb = 1 << max(0, R - 1).bit_length()
+        ratio = P // R if R and P % R == 0 else 0
+        Pb = ratio * Rb if ratio else 1 << max(0, P - 1).bit_length()
+
+        ref_arr = np.zeros((Rb, h, w, 3), np.float32)
+        for i, r in enumerate(refs):
+            ref_arr[i] = self._prep_ref(r, h, w)
+        view_arr = np.zeros((Pb, h, w, 3), np.float32)
+        for p, v in enumerate(views):
+            view_arr[p] = v.rgba[..., :3]
+        idx = np.zeros((Pb,), np.int32)
+        idx[:P] = np.asarray(ref_index, np.int32)
+
+        res = self._jitted_pairs(self.params, jnp.asarray(ref_arr),
+                                 jnp.asarray(view_arr), jnp.asarray(idx))
+        xy0, xy1, valid = (np.asarray(res.xy0), np.asarray(res.xy1),
+                           np.asarray(res.valid))
+        return [(xy0[p], xy1[p], valid[p]) for p in range(P)]
 
 
 def register_default_backends() -> None:
@@ -362,19 +405,31 @@ def register_default_backends() -> None:
             cfg = TrellisPipelineConfig.tiny_test() if kw.get("tiny") else None
             return TrellisPipeline(cfg, ckpt_dir=kw.get("ckpt_dir"))
         if backend == "hunyuan3d":
-            from labelany3d_tpu.models.diffusion import Zero123NovelView
             from labelany3d_tpu.models.svrm import SVRMConfig, SVRMReconstruction
 
             tiny = bool(kw.get("tiny"))
-            nv = Zero123NovelView(tiny=tiny, image_size=64 if tiny else 256)
+            # View source parity (`infer/image_to_views.py:50-79`): the
+            # reference generates the six orbit views with the mvd_std
+            # grid diffusion — the default here. views='zero123' keeps the
+            # per-view Zero123 generator as an alternate.
+            if kw.get("views", "mvd") == "zero123":
+                from labelany3d_tpu.models.diffusion import Zero123NovelView
+
+                nv = Zero123NovelView(tiny=tiny, image_size=64 if tiny else 256)
+                nv_key = "zero123"
+            else:
+                from labelany3d_tpu.models.diffusion import MVDStdViews
+
+                nv = MVDStdViews(tiny=tiny)
+                nv_key = "mvd"
             params = None
             if kw.get("ckpt_dir"):
                 from labelany3d_tpu.models.checkpoints import load_params
 
                 params = load_params(kw["ckpt_dir"], "svrm")
-                z123 = load_params(kw["ckpt_dir"], "zero123")
-                if z123 is not None:
-                    nv.set_params(z123)
+                nv_params = load_params(kw["ckpt_dir"], nv_key)
+                if nv_params is not None:
+                    nv.set_params(nv_params)
             return SVRMReconstruction(
                 novel_views=nv,
                 cfg=SVRMConfig.tiny_test() if tiny else SVRMConfig(),

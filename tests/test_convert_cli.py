@@ -58,3 +58,52 @@ def test_convert_cli_unknown_model():
 
     with pytest.raises(SystemExit):
         main(["nope", "x.pt"])
+
+
+def test_convert_cli_mvd_dir_roundtrip(tmp_path):
+    """diffusers-layout mvd_std pipeline dir -> orbax -> MVDStdViews runs
+    with the converted UNet (parity of the graph itself is covered by
+    tests/test_mvd_convert.py)."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from tests.test_mvd_convert import CFG, TMVDUNet, _state_numpy
+
+    from labelany3d_tpu.models.checkpoints import load_params
+    from labelany3d_tpu.models.convert_cli import main
+    from labelany3d_tpu.models.diffusion.mvd import MVDStdViews
+
+    torch.manual_seed(1)
+    tm = TMVDUNet(CFG).eval()
+    root = tmp_path / "mvd_std"
+    (root / "unet").mkdir(parents=True)
+    save_file(_state_numpy(tm), str(root / "unet" / "diffusion_pytorch_model.safetensors"))
+    with open(root / "unet" / "config.json", "w") as f:
+        json.dump({
+            "block_out_channels": list(CFG.widths),
+            "down_block_types": ["DownBlock2D", "CrossAttnDownBlock2D"],
+            "transformer_layers_per_block": list(CFG.transformer_depth),
+            "attention_head_dim": [w // CFG.head_dim for w in CFG.widths],
+            "layers_per_block": CFG.num_res_blocks,
+            "cross_attention_dim": CFG.context_dim,
+            "projection_class_embeddings_input_dim":
+                CFG.pooled_dim + 6 * CFG.addition_time_embed_dim,
+            "addition_time_embed_dim": CFG.addition_time_embed_dim,
+            "in_channels": CFG.in_channels, "out_channels": CFG.out_channels,
+        }, f)
+    torch.save(torch.zeros(1, 7, CFG.context_dim), root / "uc_text_emb.pt")
+    torch.save(torch.zeros(1, CFG.pooled_dim), root / "uc_text_emb_2.pt")
+    with open(root / "model_index.json", "w") as f:
+        json.dump({"ramping_coefficients": list(np.linspace(0, 1, 7))}, f)
+
+    path = main(["mvd", str(root), "--out", str(tmp_path / "ckpts"), "--tiny"])
+    assert "mvd" in path
+    trees = load_params(str(tmp_path / "ckpts"), "mvd")
+    assert set(trees) >= {"unet", "uc_text_emb", "uc_text_emb_2",
+                          "ramping_coefficients"}
+
+    m = MVDStdViews(tiny=True).set_params(trees)
+    rgba = np.random.default_rng(3).integers(0, 255, (24, 24, 4), dtype=np.uint8)
+    views = m.generate_views(rgba, seed=0)
+    assert len(views) == 6 and views[0].dtype == np.uint8
