@@ -28,7 +28,11 @@ from labelany3d_tpu.geometry.boxfit import fit_boxes_batch
 from labelany3d_tpu.geometry.crops import restore_mask_from_crop
 from labelany3d_tpu.pipeline.config import PipelineConfig
 from labelany3d_tpu.pipeline.scene import SceneDir, scene_dir_name
-from labelany3d_tpu.registration.process import MatcherBackend, align_to_depth_match
+from labelany3d_tpu.registration.process import (
+    MatcherBackend,
+    ObjectToRegister,
+    register_objects,
+)
 from labelany3d_tpu.registration.renderer import OrbitRenderer
 
 # Parity: whole.py:111-114 — camera-convention flip applied to every placed
@@ -91,7 +95,12 @@ class LayoutStage:
             depth_map = scene.read_depth()
             image_hw = depth_map.shape
 
-            placed: list[tuple[str, Mesh, np.ndarray]] = []
+            # Gather every registrable object first, then register the
+            # whole image in ONE batched pass (one matcher forward over all
+            # 8xI orbit pairs, vmapped PnP/scale) — the reference loops
+            # objects with bs=1 forwards (whole.py:72-107).
+            obj_ids: list[str] = []
+            to_register: list[ObjectToRegister] = []
             # Reference iterates crops in reverse (whole.py:71-73).
             for obj_id in reversed(scene.list_crop_ids()):
                 if not scene.crop_params(obj_id).exists():
@@ -117,18 +126,32 @@ class LayoutStage:
                 mesh = load_glb(mesh_path)
                 if mesh.is_empty:
                     continue
+                obj_ids.append(obj_id)
+                to_register.append(ObjectToRegister(
+                    mesh=mesh,
+                    ref_crop_rgba=crop.astype(np.float32) / 255.0,
+                    elevation_deg=elevation,
+                    crop_params=(float(crop_params[0]), float(crop_params[1]),
+                                 float(crop_params[2])),
+                    scene_mask=mask,
+                ))
 
-                self._key, sub = jax.random.split(self._key)
-                try:
-                    transform = align_to_depth_match(
-                        mesh, mask, depth_map,
-                        crop.astype(np.float32) / 255.0, elevation,
-                        (float(crop_params[0]), float(crop_params[1]), float(crop_params[2])),
-                        K_img, self.matcher, key=sub, renderer=self.renderer,
-                    )
-                except Exception as e:  # per-object tolerance (whole.py:104-107)
-                    print(f"Error aligning {obj_id}: {e}")
-                    continue
+            self._key, sub = jax.random.split(self._key)
+            try:
+                regs = register_objects(
+                    to_register, K_img, image_hw, depth_map, self.matcher,
+                    key=sub, renderer=self.renderer,
+                )
+            except Exception as e:  # per-image tolerance (whole.py:104-107)
+                print(f"Error aligning scene {info['file_name']}: {e}")
+                regs = []
+
+            placed: list[tuple[str, Mesh, np.ndarray]] = []
+            for obj_id, ob, reg in zip(obj_ids, to_register, regs):
+                # identity on failure / empty overlap, as the reference
+                # (util.py:489-493).
+                transform = reg.transform if reg.ok else np.eye(4)
+                mesh = ob.mesh
                 mesh.apply_transform(transform)
                 mesh.apply_transform(pose)
                 mesh.apply_transform(CONVENTION_FLIP)

@@ -11,12 +11,14 @@ from labelany3d_tpu.registration.cameras import opencv_orbit_pose, RENDER_K, REN
 from labelany3d_tpu.registration.renderer import OrbitRenderer, RenderedView
 from labelany3d_tpu.registration.process import (
     register_object,
+    register_objects,
+    ObjectToRegister,
     align_to_depth_match,
     RegistrationResult,
 )
 
 __all__ = [
     "opencv_orbit_pose", "RENDER_K", "RENDER_SIZE", "OrbitRenderer",
-    "RenderedView", "register_object", "align_to_depth_match",
-    "RegistrationResult",
+    "RenderedView", "register_object", "register_objects",
+    "ObjectToRegister", "align_to_depth_match", "RegistrationResult",
 ]

@@ -211,3 +211,143 @@ def test_jax_matcher_batch_matches_sequential():
         np.testing.assert_array_equal(bxy1, xy1)
         np.testing.assert_array_equal(bvalid, valid)
     assert backend.match_batch(ref, []) == []
+
+
+class MultiOracleMatcher:
+    """Per-object oracle matchers behind the `match_pairs` capability:
+    pair p consults the oracle of ref_index[p] (exercises the whole-image
+    batched dispatch in `register_objects`)."""
+
+    def __init__(self, oracles):
+        self.oracles = oracles
+
+    def match_pairs(self, refs, views, ref_index):
+        return [self.oracles[r].match(refs[r], views[p])
+                for p, r in enumerate(ref_index)]
+
+
+@pytest.fixture(scope="module")
+def two_object_world():
+    mesh = _textured_cube()
+    K_img = np.array([[400.0, 0, 128.0], [0, 400.0, 128.0], [0, 0, 1]], np.float32)
+    image_hw = (256, 256)
+    gts = []
+    for s_gt, yaw, t_gt in (
+        (2.0, 0.4, np.array([-0.9, -0.05, 3.2], np.float32)),
+        (1.5, -0.7, np.array([1.0, 0.1, 4.0], np.float32)),
+    ):
+        R_gt = rotate_y_np(yaw).astype(np.float32)
+        T = np.eye(4)
+        T[:3, :3] = s_gt * R_gt
+        T[:3, 3] = s_gt * t_gt
+        gts.append((s_gt, R_gt, t_gt, T))
+
+    renderer = OrbitRenderer(faces_per_tile=256)
+    depths, masks = [], []
+    for _, _, _, T in gts:
+        m = Mesh(mesh.vertices.copy(), mesh.faces, mesh.colors)
+        m.apply_transform(T)
+        view = renderer.render_pose(
+            m, np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+            image_size=image_hw, K=K_img,
+        )
+        depths.append(view.depth.copy())
+        masks.append(view.depth > 0)
+    # composite scene depth: nearest surface wins where both project
+    scene_depth = np.where(
+        masks[0] & (~masks[1] | (depths[0] <= np.where(masks[1], depths[1], np.inf))),
+        depths[0], np.where(masks[1], depths[1], 0.0),
+    ).astype(np.float32)
+    return mesh, K_img, image_hw, gts, scene_depth, masks, renderer
+
+
+def test_register_objects_batch_recovers_both_poses(two_object_world):
+    """Whole-image batched registration (one matcher dispatch set + vmapped
+    PnP/scale) recovers every object's pose, scale, and transform."""
+    from labelany3d_tpu.registration.process import ObjectToRegister, register_objects
+
+    mesh, K_img, image_hw, gts, scene_depth, masks, renderer = two_object_world
+    oracles = [OracleMatcher(K_img, T, scene_depth) for *_x, T in gts]
+    ref_rgba = np.zeros(image_hw + (4,), np.float32)
+    objs = [
+        ObjectToRegister(
+            mesh=Mesh(mesh.vertices.copy(), mesh.faces, mesh.colors),
+            ref_crop_rgba=ref_rgba, elevation_deg=0.0,
+            crop_params=(0.0, 0.0, 1.0), scene_mask=masks[i],
+        )
+        for i in range(2)
+    ]
+    results = register_objects(
+        objs, K_img, image_hw, scene_depth, MultiOracleMatcher(oracles),
+        key=jax.random.PRNGKey(0), renderer=renderer,
+    )
+    assert len(results) == 2
+    for res, (s_gt, R_gt, t_gt, _T) in zip(results, gts):
+        assert res.ok
+        np.testing.assert_allclose(res.rotation, R_gt, atol=0.05)
+        np.testing.assert_allclose(res.translation, t_gt, atol=0.08)
+        assert res.scale == pytest.approx(s_gt, abs=0.12)
+        np.testing.assert_allclose(res.transform[:3, :3], s_gt * R_gt, atol=0.15)
+        np.testing.assert_allclose(res.transform[:3, 3], s_gt * t_gt, atol=0.3)
+
+
+def test_register_objects_isolates_failures(two_object_world):
+    """A matchless object reports ok=False without poisoning its neighbors
+    (the vmapped solves keep static shapes; failures resolve on host)."""
+    from labelany3d_tpu.registration.process import ObjectToRegister, register_objects
+
+    mesh, K_img, image_hw, gts, scene_depth, masks, renderer = two_object_world
+
+    class _Dead:
+        def match(self, ref, view):
+            z = np.zeros((64, 2), np.float32)
+            return z, z, np.zeros(64, bool)
+
+    oracles = [OracleMatcher(K_img, gts[0][3], scene_depth), _Dead()]
+    ref_rgba = np.zeros(image_hw + (4,), np.float32)
+    objs = [
+        ObjectToRegister(
+            mesh=Mesh(mesh.vertices.copy(), mesh.faces, mesh.colors),
+            ref_crop_rgba=ref_rgba, elevation_deg=0.0,
+            crop_params=(0.0, 0.0, 1.0), scene_mask=masks[i],
+        )
+        for i in range(2)
+    ]
+    results = register_objects(
+        objs, K_img, image_hw, scene_depth, MultiOracleMatcher(oracles),
+        key=jax.random.PRNGKey(0), renderer=renderer,
+    )
+    assert results[0].ok and not results[1].ok
+    s_gt, R_gt, t_gt, _ = gts[0]
+    np.testing.assert_allclose(results[0].rotation, R_gt, atol=0.05)
+    np.testing.assert_allclose(results[1].transform, np.eye(4))
+
+
+def test_jax_matcher_pairs_matches_sequential():
+    """match_pairs (one forward over all refs x views with ref_index
+    gather + count bucketing) must agree exactly with per-pair match()."""
+    from labelany3d_tpu.pipeline.backends import JaxMatcherBackend
+    from labelany3d_tpu.registration.renderer import RenderedView
+
+    rng = np.random.default_rng(1)
+    h = w = 64
+    backend = JaxMatcherBackend(tiny=True, image_size=h)
+    refs = [rng.uniform(size=(h, w, 4)).astype(np.float32) for _ in range(3)]
+    views = [
+        RenderedView(
+            rgba=rng.uniform(size=(h, w, 4)).astype(np.float32),
+            depth=np.full((h, w), 2.0, np.float32),
+            R=np.eye(3, dtype=np.float32),
+            t=np.zeros(3, np.float32),
+        )
+        for _ in range(6)
+    ]
+    ref_index = [0, 0, 1, 1, 2, 2]
+    paired = backend.match_pairs(refs, views, ref_index)
+    assert len(paired) == 6
+    for p, (r, view) in enumerate(zip(ref_index, views)):
+        xy0, xy1, valid = backend.match(refs[r], view)
+        np.testing.assert_array_equal(paired[p][0], xy0)
+        np.testing.assert_array_equal(paired[p][1], xy1)
+        np.testing.assert_array_equal(paired[p][2], valid)
+    assert backend.match_pairs(refs, [], []) == []
