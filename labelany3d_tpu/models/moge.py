@@ -183,21 +183,75 @@ class ResidualConvBlock(nn.Module):
         return h + skip
 
 
-class _ConvInParams(nn.Module):
-    """Parameter-only stand-in for an nn.Conv(features, (3, 3)): declares the
-    identical {kernel, bias} tree so fused apply-time concatenation (see
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for an nn.Conv(features, (k, k)): declares the
+    identical {kernel, bias} tree so fused apply-time combination (see
     MoGeCheckpointHead) leaves checkpoint layouts untouched."""
 
     features: int
     in_features: int
+    ksize: int = 3
 
     @nn.compact
     def __call__(self):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (3, 3, self.in_features, self.features), jnp.float32)
+            (self.ksize, self.ksize, self.in_features, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         return kernel, bias
+
+
+def _bilinear_taps(in_size: int, out_size: int, pad: int):
+    """Per-output-row tap indices/weights of a bilinear resize in the torch
+    `F.interpolate(align_corners=False)` convention (parity
+    `moge_model.py:131`), with `pad` edge-replicated rows fused on each
+    side: a replicate-padded row is just the first/last row's taps again,
+    so padding costs nothing beyond two extra gather rows."""
+    import numpy as np
+
+    pos = (np.arange(out_size, dtype=np.float64) + 0.5) * (in_size / out_size) - 0.5
+    base = np.floor(pos)
+    w1 = (pos - base).astype(np.float32)
+    i1 = np.clip(base + 1, 0, in_size - 1).astype(np.int32)
+    i0 = np.clip(base, 0, in_size - 1).astype(np.int32)
+    if pad:
+        rep = lambda a: np.concatenate(
+            [np.repeat(a[:1], pad), a, np.repeat(a[-1:], pad)])
+        i0, i1, w1 = rep(i0), rep(i1), rep(w1)
+    return i0, i1, w1
+
+
+def _resize_bilinear_pad(x, out_hw, pad=1):
+    """Separable bilinear resize fused with a replicate pad: writes the
+    padded full-res tensor — the head's largest HBM term — ONCE. The
+    resize-then-`jnp.pad` form this replaces materialized the ~0.5 GB
+    (B=8, 520^2x130 bf16) tensor twice; the edge-pad concatenate alone
+    was 7.1 ms of a 111 ms ViT-L/518 batch on the round-4 device profile."""
+    i0, i1, w1 = _bilinear_taps(x.shape[1], out_hw[0], pad)
+    wv = jnp.asarray(w1, x.dtype)[None, :, None, None]
+    x = x[:, i0] * (1 - wv) + x[:, i1] * wv
+    j0, j1, w1 = _bilinear_taps(x.shape[2], out_hw[1], pad)
+    wh = jnp.asarray(w1, x.dtype)[None, None, :, None]
+    return x[:, :, j0] * (1 - wh) + x[:, :, j1] * wh
+
+
+def _uv_conv_response(img_h, img_w, aspect, k_uv, bias, dtype):
+    """Input-independent UV term of the output-block conv: the view-plane
+    UV field depends only on (shape, aspect), so its replicate-padded 3x3
+    conv response + bias is ONE (1, H, W, C) map derived from the weights.
+    Splitting it out keeps the image conv's contraction dim at the aligned
+    feature width (128 lanes) instead of a misaligned width+2; parity: the
+    torch head convolves cat([x, uv]) jointly, and conv is linear in its
+    input channels."""
+    import numpy as np
+
+    uv = np.pad(_view_plane_uv(img_h, img_w, aspect),
+                ((1, 1), (1, 1), (0, 0)), mode="edge")
+    out = jax.lax.conv_general_dilated(
+        jnp.asarray(uv[None], dtype), k_uv, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + bias
 
 
 class MoGeCheckpointHead(nn.Module):
@@ -235,42 +289,62 @@ class MoGeCheckpointHead(nn.Module):
                 x = ResidualConvBlock(out_ch, out_ch, cfg.dtype, name=f"up{i}_res{r}")(x)
 
         b, hh, ww, c = x.shape
-        # bf16 configs resize in bf16: the full-res feature tensor is the
-        # head's biggest HBM term and bilinear needs no f32 accumulator
-        # (4-tap convex blend); f32 configs (parity tests) are unchanged.
-        x = jax.image.resize(x, (b, img_h, img_w, c), method="bilinear")
-        x = _cat_uv(x, aspect)
+        # Resize + shared replicate pad in ONE separable gather pass (bf16
+        # configs blend in bf16: 4-tap convex blend needs no f32
+        # accumulator; f32 configs/parity tests are unchanged).
+        xp = _resize_bilinear_pad(x, (img_h, img_w))
 
         dim_out = [3, 1] if (cfg.output_mask and cfg.split_head) else \
             [4] if cfg.output_mask else [3]
-        # Shared replicate-pad hoisted out of the per-head loop: both output
-        # heads convolve the same full-res tensor, and materializing the
-        # padded copy twice doubles the head's largest HBM read.
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
         # Fuse the two heads' first conv into ONE 2x-channel conv over the
         # padded full-res tensor (its biggest HBM read — docs/PERF.md
         # headroom list): kernels/biases are concatenated at apply time, so
         # the parameter tree (out{j}_conv_in/{kernel,bias}) and therefore
-        # every converter/checkpoint stays byte-identical.
-        fused_in = None
+        # every converter/checkpoint stays byte-identical. The UV channels'
+        # contribution is input-independent and rides as a precomputed map
+        # (`_uv_conv_response`), keeping the contraction at the aligned
+        # feature width.
         if len(dim_out) == 2:
             cc = cfg.last_conv_channels
-            ps = [_ConvInParams(cc, xp.shape[-1], name=f"out{j}_conv_in")()
+            ps = [_ConvParams(cc, c + 2, name=f"out{j}_conv_in")()
                   for j in range(2)]
             kern = jnp.concatenate([k for k, _ in ps], axis=-1).astype(cfg.dtype)
             bias = jnp.concatenate([bv for _, bv in ps], axis=0).astype(cfg.dtype)
             both = jax.lax.conv_general_dilated(
-                xp.astype(cfg.dtype), kern, (1, 1), "VALID",
+                xp.astype(cfg.dtype), kern[:, :, :c, :], (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + bias
+            ) + _uv_conv_response(
+                img_h, img_w, aspect, kern[:, :, c:, :], bias, cfg.dtype)
+            if cfg.last_res_blocks == 0 and cfg.last_conv_size == 1:
+                # Production epilogue (vitl: no res blocks, 1x1 out convs):
+                # both heads' output convs as ONE block-diagonal f32
+                # contraction — one full-res read instead of two HBM-bound
+                # conv passes over the same tensor (out0/out1_conv_out were
+                # 6.3 ms of a 111 ms batch on the round-4 device profile).
+                po = [_ConvParams(d, cc, ksize=1, name=f"out{j}_conv_out")()
+                      for j, d in enumerate(dim_out)]
+                kb = jnp.zeros((2 * cc, sum(dim_out)), jnp.float32)
+                kb = kb.at[:cc, : dim_out[0]].set(po[0][0].reshape(cc, dim_out[0]))
+                kb = kb.at[cc:, dim_out[0]:].set(po[1][0].reshape(cc, dim_out[1]))
+                bb = jnp.concatenate([po[0][1], po[1][1]])
+                return nn.relu(both).astype(jnp.float32) @ kb + bb
             fused_in = (both[..., :cc], both[..., cc:])
+        else:
+            import numpy as np
+
+            uv = jnp.asarray(
+                np.pad(_view_plane_uv(img_h, img_w, aspect),
+                       ((1, 1), (1, 1), (0, 0)), mode="edge"), xp.dtype)
+            xq = jnp.concatenate(
+                [xp, jnp.broadcast_to(uv[None], (b, *uv.shape))], axis=-1)
+            fused_in = None
         outs = []
         for j, d in enumerate(dim_out):
             h = fused_in[j] if fused_in is not None else nn.Conv(
                 cfg.last_conv_channels, (3, 3), padding="VALID",
                 dtype=cfg.dtype, param_dtype=jnp.float32,
                 name=f"out{j}_conv_in",
-            )(xp)
+            )(xq)
             for r in range(cfg.last_res_blocks):
                 h = ResidualConvBlock(
                     cfg.last_conv_channels, cfg.last_conv_channels, cfg.dtype,

@@ -8,6 +8,8 @@ This is the gate that makes round-2 weight conversion a pure name-mapping
 exercise.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -123,15 +125,21 @@ class TorchHead(tnn.Module):
 
 
 @pytest.mark.parametrize("gh,gw,img_h,img_w", [(4, 4, 32, 32), (4, 6, 32, 48)])
-def test_checkpoint_head_matches_torch_replica(gh, gw, img_h, img_w):
+@pytest.mark.parametrize("last_res_blocks", [1, 0])
+def test_checkpoint_head_matches_torch_replica(gh, gw, img_h, img_w,
+                                               last_res_blocks):
     # The rectangular case exercises the aspect-dependent view-plane UV
     # spans (geometry_torch.py:45-46) in every concat site.
+    # last_res_blocks=0 is the PRODUCTION epilogue shape (vitl config):
+    # it takes the merged block-diagonal out-conv fast path in
+    # MoGeCheckpointHead.
+    cfg = dataclasses.replace(CFG, last_res_blocks=last_res_blocks)
     torch.manual_seed(0)
     rng = np.random.default_rng(0)
     b = 2
-    n_levels = len(CFG.backbone.out_indices)
+    n_levels = len(cfg.backbone.out_indices)
 
-    replica = TorchHead(CFG, DIM_IN, n_levels).eval()
+    replica = TorchHead(cfg, DIM_IN, n_levels).eval()
     hiddens_np = [rng.normal(size=(b, gh * gw, DIM_IN)).astype(np.float32)
                   for _ in range(n_levels)]
 
@@ -141,9 +149,9 @@ def test_checkpoint_head_matches_torch_replica(gh, gw, img_h, img_w):
         ).numpy().transpose(0, 2, 3, 1)  # NCHW -> NHWC
 
     state = {"head." + k: v.numpy() for k, v in replica.state_dict().items()}
-    params = convert_moge_head(state, CFG)
+    params = convert_moge_head(state, cfg)
 
-    head = MoGeCheckpointHead(CFG)
+    head = MoGeCheckpointHead(cfg)
     out = head.apply(
         {"params": params},
         [jnp.asarray(h) for h in hiddens_np], (gh, gw), (img_h, img_w),
@@ -151,6 +159,29 @@ def test_checkpoint_head_matches_torch_replica(gh, gw, img_h, img_w):
     out = np.asarray(out)
     assert out.shape == ref.shape == (b, img_h, img_w, 4)
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((16, 16), (28, 28)),   # 7/4: the
+                                          # production 296->518 tap pattern
+                                          ((12, 20), (30, 44)),   # rect, odd
+                                          ((8, 8), (16, 16))])    # exact 2x
+def test_resize_bilinear_pad_matches_torch(in_hw, out_hw):
+    """`_resize_bilinear_pad` == F.interpolate(align_corners=False) + 1px
+    replicate pad, bit-near, at non-integer ratios (the head parity tests
+    above only exercise exact-2x resizes)."""
+    from labelany3d_tpu.models.moge import _resize_bilinear_pad
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, *in_hw, 5)).astype(np.float32)
+    got = np.asarray(_resize_bilinear_pad(jnp.asarray(x), out_hw))
+    with torch.no_grad():
+        ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), out_hw,
+                            mode="bilinear", align_corners=False)
+        ref = F.pad(ref, (1, 1, 1, 1), mode="replicate")
+        ref = ref.permute(0, 2, 3, 1).numpy()
+    assert got.shape == ref.shape
+    # atol: f32 lerp-ordering noise (x0*(1-w)+x1*w vs torch's form).
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
 
 
 def test_checkpoint_head_param_tree_initializable():
