@@ -312,12 +312,78 @@ def bench_registration() -> dict:
         lambda it: (params, refs, views, jax.random.fold_in(key, it)), iters=4
     )
     ms_orbit = dt_orbit / 4 * 1000.0
-    return {
+    out = {
         "match_pnp_ms_per_view_pair": round(ms_per_pair, 1),
         "orbit8_match_pnp_ms": round(ms_orbit, 1),
         # stage A (batched orbit) + stage B (re-render single pair + PnP)
         "registration_ms_per_object": round(ms_orbit + ms_per_pair, 1),
     }
+
+    # Amortized cost when a whole image registers at once
+    # (`registration/process.py::register_objects`): stage A is ONE matcher
+    # forward over all objects' 8 orbit pairs + a vmapped hypothesis-batch
+    # PnP over objects; stage B one batch-I forward + a second vmapped PnP.
+    n_obj = 4
+    views_all = jnp.asarray(
+        rng.uniform(size=(n_obj * n_views, s, s, 3)).astype(np.float32))
+    refs_all = jnp.asarray(rng.uniform(size=(n_obj, s, s, 3)).astype(np.float32))
+
+    def orbit_step_multi(acc, p, a, b, key):
+        # match_pairs path: refs repeat-encoded with the views in one call.
+        out = model.apply(
+            {"params": p}, jnp.repeat(a, n_views, axis=0), b)
+        per_obj = []
+        for i in range(n_obj):
+            ms = [reciprocal_nn_match(out["desc0"][i * n_views + v],
+                                      out["desc1"][i * n_views + v])
+                  for v in range(n_views)]
+            per_obj.append((
+                jnp.concatenate([lift(m) for m in ms]),
+                jnp.concatenate([m.xy0 for m in ms]),
+                jnp.concatenate([m.valid for m in ms]),
+            ))
+        pts = jnp.stack([p3 for p3, _, _ in per_obj])
+        xys = jnp.stack([xy for _, xy, _ in per_obj])
+        vals = jnp.stack([v for _, _, v in per_obj])
+        keys = jax.random.split(key, n_obj)
+        pnp = jax.vmap(
+            lambda p3, xy, v, k: solve_pnp_ransac(p3, xy, K, valid=v, key=k)
+        )(pts, xys, vals, keys)
+        return acc + pnp.rotation.sum() + pnp.translation.sum() + xys.sum()
+
+    def stage_b_multi(acc, p, a, b, key):
+        out = model.apply({"params": p}, a, b)
+        per_obj = []
+        for i in range(n_obj):
+            m = reciprocal_nn_match(out["desc0"][i], out["desc1"][i])
+            per_obj.append((lift(m), m.xy0, m.valid))
+        pts = jnp.stack([p3 for p3, _, _ in per_obj])
+        xys = jnp.stack([xy for _, xy, _ in per_obj])
+        vals = jnp.stack([v for _, _, v in per_obj])
+        keys = jax.random.split(key, n_obj)
+        pnp = jax.vmap(
+            lambda p3, xy, v, k: solve_pnp_ransac(p3, xy, K, valid=v, key=k)
+        )(pts, xys, vals, keys)
+        return acc + pnp.rotation.sum() + pnp.translation.sum() + xys.sum()
+
+    try:
+        # Fail-soft: the section runner does `extra.update(fn())`, so an
+        # alarm firing here must not discard the per-object numbers above.
+        dt_a = _timed_chain(
+            jax.jit(orbit_step_multi),
+            lambda it: (params, refs_all, views_all, jax.random.fold_in(key, it)),
+            iters=2, warmup=1,
+        )
+        dt_b = _timed_chain(
+            jax.jit(stage_b_multi),
+            lambda it: (params, refs_all, refs_all, jax.random.fold_in(key, it)),
+            iters=2, warmup=1,
+        )
+        out["registration_ms_per_object_amortized4"] = round(
+            (dt_a + dt_b) / 2 / n_obj * 1000.0, 1)
+    except Exception as e:
+        out["registration_amortized_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
 
 
 def bench_e2e_fast() -> dict:
