@@ -290,7 +290,6 @@ def bench_registration() -> dict:
     from labelany3d_tpu.models.matcher import MatcherConfig, TwoViewMatcher
     from labelany3d_tpu.ops.reciprocal_nn import reciprocal_nn_match
 
-    t_sect = time.perf_counter()
     rng = np.random.default_rng(0)
     s, n_views = 512, 8
     model = TwoViewMatcher(MatcherConfig.mast3r_vitl())
@@ -343,11 +342,42 @@ def bench_registration() -> dict:
         "registration_ms_per_object": round(ms_orbit + ms_per_pair, 1),
     }
     _emit_partial(out)
+    return out
 
-    # Amortized cost when a whole image registers at once
-    # (`registration/process.py::register_objects`): stage A is ONE matcher
-    # forward over all objects' 8 orbit pairs + a vmapped hypothesis-batch
-    # PnP over objects; stage B one batch-I forward + a second vmapped PnP.
+
+def bench_registration_amortized() -> dict:
+    """Amortized cost when a whole image registers at once
+    (`registration/process.py::register_objects`): stage A is ONE matcher
+    forward over all objects' 8 orbit pairs + a vmapped hypothesis-batch
+    PnP over objects; stage B one batch-I forward + a second vmapped PnP.
+
+    Runs as the LAST bench section: its batch-32 matcher forward is a new
+    large tunnel program whose first load can wedge for minutes on a
+    degraded tunnel (r04 self-run: 762s past its alarm), so it only ever
+    burns leftover budget — a kill here costs nothing downstream."""
+    import jax
+    import jax.numpy as jnp
+
+    from labelany3d_tpu.geometry.pnp import solve_pnp_ransac
+    from labelany3d_tpu.models.matcher import MatcherConfig, TwoViewMatcher
+    from labelany3d_tpu.ops.reciprocal_nn import reciprocal_nn_match
+
+    rng = np.random.default_rng(0)
+    s, n_views = 512, 8
+    model = TwoViewMatcher(MatcherConfig.mast3r_vitl())
+    img0 = jnp.asarray(rng.uniform(size=(1, s, s, 3)).astype(np.float32))
+    img1 = jnp.asarray(rng.uniform(size=(1, s, s, 3)).astype(np.float32))
+    params = _zeros_params(model, img0, img1)
+    K = jnp.asarray([[560.44, 0, 256.0], [0, 560.44, 256.0], [0, 0, 1]], jnp.float32)
+
+    def lift(m):
+        return jnp.concatenate(
+            [(m.xy1 - 256.0) / 560.44 * 2.0, jnp.full((m.xy1.shape[0], 1), 2.0)],
+            axis=-1,
+        )
+
+    out: dict = {}
+    key = jax.random.PRNGKey(0)
     n_obj = 4
     views_all = jnp.asarray(
         rng.uniform(size=(n_obj * n_views, s, s, 3)).astype(np.float32))
@@ -391,20 +421,7 @@ def bench_registration() -> dict:
         )(pts, xys, vals, keys)
         return acc + pnp.rotation.sum() + pnp.translation.sum() + xys.sum()
 
-    # Health gate: the amortized stage is a NEW large program (batch-32
-    # matcher forward) and a degraded tunnel's program load blocks in C
-    # past any SIGALRM (r04 self-run: 762s overrun that starved the
-    # generative tail + all of e2e). Only attempt it when the base benches
-    # ran at healthy speed AND the global budget has slack to burn.
-    base_s = time.perf_counter() - t_sect
-    global_left = _global_left()
-    if base_s > 120.0 or global_left < 550.0:
-        out["registration_amortized_skipped"] = (
-            f"gated (base {base_s:.0f}s, {global_left:.0f}s global left)")
-        return out
     try:
-        # Fail-soft: the section runner does `extra.update(fn())`, so an
-        # alarm firing here must not discard the per-object numbers above.
         dt_a = _timed_chain(
             jax.jit(orbit_step_multi),
             lambda it: (params, refs_all, views_all, jax.random.fold_in(key, it)),
@@ -509,11 +526,17 @@ def bench_e2e_fast() -> dict:
         # old tail-ordered version timed out with NOTHING recorded).
         FusedFastStage(cfg, backend, loader, source, tmp + "/warmf", "val").run(0, min(4, n_images))
         tf0 = time.perf_counter()
-        FusedFastStage(cfg, backend, loader, source, tmp + "/runf", "val").run(0, n_images)
+        fstage = FusedFastStage(cfg, backend, loader, source, tmp + "/runf", "val")
+        fstage.run(0, n_images)
         ExportStage(tmp + "/runf", "val").run()
         fused_dt = time.perf_counter() - tf0
         res["e2e_fast_images_per_sec"] = round(n_images / fused_dt, 2)
         res["e2e_vs_host"] = round((n_images / fused_dt) / PINNED_HOST_E2E_IPS, 2)
+        # Overlapped-phase breakdown (threads overlap, so parts can sum past
+        # the wall time): where a slow shard actually spends it.
+        res["e2e_fused_dispatch_s"] = round(fstage.stats["dispatch_s"], 2)
+        res["e2e_fused_fetch_s"] = round(fstage.stats["fetch_s"], 2)
+        res["e2e_fused_write_s"] = round(fstage.stats["write_s"], 2)
         _emit_partial(res)
 
         # Secondary (gated on section elapsed — program loads dominate on a
@@ -910,7 +933,8 @@ def main():
         _GLOBAL_LEFT_OVERRIDE = float(sys.argv[sys.argv.index("--global-left") + 1])
         _enable_compile_cache()
         fns = {"depth": bench_depth_models, "registration": bench_registration,
-               "generative": bench_generative, "e2e": bench_e2e_fast}
+               "generative": bench_generative, "e2e": bench_e2e_fast,
+               "registration_amortized": bench_registration_amortized}
         for name in names:
             _PARTIAL_EMIT = (lambda d, _n=name:
                              print(json.dumps({"__partial__": _n, **d}), flush=True))
@@ -994,7 +1018,10 @@ def main():
     sections = [("depth", 240.0),
                 ("registration", 240.0),
                 ("e2e", 420.0),
-                ("generative", 300.0)]
+                ("generative", 300.0),
+                # Last on purpose: its batch-32 matcher program load can
+                # wedge on a degraded tunnel; here it only burns leftovers.
+                ("registration_amortized", 120.0)]
     pending = list(sections)
     while pending:
         left = EXTRA_BUDGET_S - (time.perf_counter() - _T_START)

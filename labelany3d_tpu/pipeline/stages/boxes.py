@@ -20,7 +20,7 @@ import numpy as np
 
 from labelany3d_tpu.data.coconut import xywh_to_xyxy
 from labelany3d_tpu.pipeline.config import PipelineConfig
-from labelany3d_tpu.pipeline.labeling import label_instances, unpack_instance_masks
+from labelany3d_tpu.pipeline.labeling import label_program
 from labelany3d_tpu.pipeline.scene import SceneDir, scene_dir_name
 from labelany3d_tpu.pipeline.stages.common import (
     pack_instance_masks,
@@ -42,11 +42,9 @@ class BoxStage:
         self._key = jax.random.PRNGKey(cfg.seed + 7)
         # Masks arrive bit-packed ((B, H, W) bitfield, instance i in bit i)
         # and unpack on device: I-fold fewer mask bytes over the tunnel.
-        self._step = jax.jit(
-            lambda depth, K, packed, key: label_instances(
-                depth, K, unpack_instance_masks(packed, cfg.max_instances), key,
-                num_points=cfg.num_points, method=cfg.bbox_method,
-            )
+        # Shared module-level program (see labeling.label_program).
+        self._step = label_program(
+            cfg.max_instances, cfg.num_points, cfg.bbox_method
         )
 
     def _scene(self, image_info: dict) -> SceneDir:

@@ -19,7 +19,7 @@ import numpy as np
 
 from labelany3d_tpu.pipeline.backends import DepthBackend
 from labelany3d_tpu.pipeline.config import PipelineConfig
-from labelany3d_tpu.pipeline.labeling import depth_fusion
+from labelany3d_tpu.pipeline.labeling import depth_fusion_program
 from labelany3d_tpu.pipeline.scene import SceneDir, scene_dir_name
 from labelany3d_tpu.pipeline.stages.common import ImageSource, resize_image, resize_nearest
 
@@ -45,8 +45,9 @@ class DepthStage:
         self._key = jax.random.PRNGKey(cfg.seed)
         # depth_fusion must run as ONE program: eagerly it dispatches the
         # RANSAC align op-by-op (hundreds of ops per batch; over the axon
-        # tunnel every eager op is a remote round trip).
-        self._fuse = jax.jit(depth_fusion)
+        # tunnel every eager op is a remote round trip). Shared module-level
+        # wrapper: per-instance jax.jit re-traces/re-loads per stage object.
+        self._fuse = depth_fusion_program
 
     def _scene(self, image_info: dict) -> SceneDir:
         name = scene_dir_name(image_info["file_name"])

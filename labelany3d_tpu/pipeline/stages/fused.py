@@ -20,6 +20,7 @@ separate stages.
 from __future__ import annotations
 
 import os
+import time
 
 import jax
 import numpy as np
@@ -27,11 +28,7 @@ import numpy as np
 from labelany3d_tpu.data.coconut import xywh_to_xyxy
 from labelany3d_tpu.pipeline.backends import DepthBackend
 from labelany3d_tpu.pipeline.config import PipelineConfig
-from labelany3d_tpu.pipeline.labeling import (
-    depth_fusion,
-    label_instances,
-    unpack_instance_masks,
-)
+from labelany3d_tpu.pipeline.labeling import fused_label_program
 from labelany3d_tpu.pipeline.scene import SceneDir, scene_dir_name
 from labelany3d_tpu.pipeline.stages.common import (
     ImageSource,
@@ -65,17 +62,19 @@ class FusedFastStage:
         self.split = split
         self.provider = instance_provider or CoconutInstanceProvider(loader)
         self._key = jax.random.PRNGKey(cfg.seed)
+        # Wall-clock breakdown accumulated per run (diagnostics; read by
+        # bench.py's e2e section): dispatch = lazy device-call submission,
+        # fetch = device->host transfer of the batch results, write = host
+        # artifact encode+IO. fetch/write run on pool threads and overlap
+        # the next batch's dispatch, so the sum can exceed the run time.
+        self.stats = {"dispatch_s": 0.0, "fetch_s": 0.0, "write_s": 0.0,
+                      "batches": 0}
 
-        def fuse_and_label(rel, met, dmask, K, packed, key):
-            k1, k2 = jax.random.split(key)
-            aligned = depth_fusion(rel, met, dmask, k1)
-            out = label_instances(
-                aligned, K, unpack_instance_masks(packed, cfg.max_instances),
-                k2, num_points=cfg.num_points, method=cfg.bbox_method,
-            )
-            return aligned, out.boxes
-
-        self._label = jax.jit(fuse_and_label)
+        # Shared module-level program: a per-instance jax.jit wrapper would
+        # re-trace (and re-load over the tunnel) on every stage instance.
+        self._label = fused_label_program(
+            cfg.max_instances, cfg.num_points, cfg.bbox_method
+        )
 
     def _scene(self, info: dict) -> SceneDir:
         return SceneDir(
@@ -120,12 +119,15 @@ class FusedFastStage:
             batch = np.stack([g[4] for g in group])  # uint8; device-normalized
             packed = np.stack([g[5] for g in group])
             inflight.acquire()
+            t_disp = time.perf_counter()
             out = self.backend.infer(batch)
             self._key, sub = jax.random.split(self._key)
             aligned, boxes = self._label(
                 out["relative_depth"], out["metric_depth"], out["depth_mask"],
                 out["K_pixels"], packed, sub,
             )
+            self.stats["dispatch_s"] += time.perf_counter() - t_disp
+            self.stats["batches"] += 1
             snapshot = list(group)
             writes.append(io_pool.submit(
                 fetch_and_write, bucket, snapshot, aligned, out["K_pixels"], boxes))
@@ -133,12 +135,15 @@ class FusedFastStage:
             group.clear()
 
         def fetch_and_write(bucket, group, aligned_dev, K_dev, boxes_dev):
+            t_fetch = time.perf_counter()
             try:
                 aligned = np.asarray(aligned_dev)
                 K_bucket = np.asarray(K_dev)
                 boxes = jax.tree_util.tree_map(np.asarray, boxes_dev)
             finally:
                 inflight.release()
+            t_write = time.perf_counter()
+            self.stats["fetch_s"] += t_write - t_fetch
             bh, bw = bucket
             for row, (info, scene, img, _b, _r, _p, kept, labels, bb2d) in enumerate(group):
                 oh, ow = img.shape[:2]
@@ -172,6 +177,7 @@ class FusedFastStage:
                     draw_cube_overlay(scene, image=img, K=K, cubes=bbox_list)
                 except Exception as e:
                     print(f"overlay failed: {e}")
+            self.stats["write_s"] += time.perf_counter() - t_write
 
         todo = []
         for i in range(start_index, end_index):

@@ -35,6 +35,9 @@ from labelany3d_tpu.registration.process import (
 )
 from labelany3d_tpu.registration.renderer import OrbitRenderer
 
+_RESTORE_PROGRAM = jax.jit(restore_mask_from_crop, static_argnames=("out_shape",))
+_FIT_PROGRAM = jax.jit(fit_boxes_batch, static_argnames=("method",))
+
 # Parity: whole.py:111-114 — camera-convention flip applied to every placed
 # mesh before export.
 CONVENTION_FLIP = np.diag([-1.0, -1.0, 1.0, 1.0])
@@ -70,11 +73,10 @@ class LayoutStage:
         self._key = jax.random.PRNGKey(cfg.seed + 21)
         # Jitted device programs (eagerly these dispatch per-op; over the
         # tunnel each op is a round trip). Crop params ride as jnp args so
-        # per-object values do not retrace.
-        self._restore = jax.jit(
-            restore_mask_from_crop, static_argnames=("out_shape",)
-        )
-        self._fit = jax.jit(fit_boxes_batch, static_argnames=("method",))
+        # per-object values do not retrace. Module-level wrappers: a
+        # per-instance jax.jit re-traces/re-loads per stage object.
+        self._restore = _RESTORE_PROGRAM
+        self._fit = _FIT_PROGRAM
 
     def _scene(self, info: dict) -> SceneDir:
         name = scene_dir_name(info["file_name"])
