@@ -370,36 +370,38 @@ def bench_registration_amortized() -> dict:
     params = _zeros_params(model, img0, img1)
     K = jnp.asarray([[560.44, 0, 256.0], [0, 560.44, 256.0], [0, 0, 1]], jnp.float32)
 
-    def lift(m):
-        return jnp.concatenate(
-            [(m.xy1 - 256.0) / 560.44 * 2.0, jnp.full((m.xy1.shape[0], 1), 2.0)],
-            axis=-1,
-        )
-
     out: dict = {}
     key = jax.random.PRNGKey(0)
     n_obj = 4
     views_all = jnp.asarray(
         rng.uniform(size=(n_obj * n_views, s, s, 3)).astype(np.float32))
     refs_all = jnp.asarray(rng.uniform(size=(n_obj, s, s, 3)).astype(np.float32))
+    ref_index = jnp.repeat(jnp.arange(n_obj, dtype=jnp.int32), n_views)
 
-    def orbit_step_multi(acc, p, a, b, key):
-        # match_pairs path: refs repeat-encoded with the views in one call.
-        out = model.apply(
-            {"params": p}, jnp.repeat(a, n_views, axis=0), b)
-        per_obj = []
-        for i in range(n_obj):
-            ms = [reciprocal_nn_match(out["desc0"][i * n_views + v],
-                                      out["desc1"][i * n_views + v])
-                  for v in range(n_views)]
-            per_obj.append((
-                jnp.concatenate([lift(m) for m in ms]),
-                jnp.concatenate([m.xy0 for m in ms]),
-                jnp.concatenate([m.valid for m in ms]),
-            ))
-        pts = jnp.stack([p3 for p3, _, _ in per_obj])
-        xys = jnp.stack([xy for _, xy, _ in per_obj])
-        vals = jnp.stack([v for _, _, v in per_obj])
+    def _nn_all(out):
+        # One compiled NN body mapped over pairs — NOT unrolled per pair
+        # (mirrors `backends.py::step_pairs`; the unrolled variant's HLO
+        # crashed the remote compile helper in r04 runs 4-5).
+        return jax.lax.map(
+            lambda dd: reciprocal_nn_match(dd[0], dd[1]),
+            (out["desc0"], out["desc1"]),
+        )
+
+    def _lift(xy1):
+        return jnp.concatenate(
+            [(xy1 - 256.0) / 560.44 * 2.0, jnp.full(xy1.shape[:-1] + (1,), 2.0)],
+            axis=-1,
+        )
+
+    def orbit_step_multi(acc, p, a, b, idx, key):
+        # match_pairs path: R refs + P views encode as R+P rows in ONE
+        # forward; pair p matches views[p] against refs[idx[p]].
+        out = model.apply({"params": p}, a, b, ref_index=idx)
+        ms = _nn_all(out)
+        s_m = ms.xy0.shape[1]
+        pts = _lift(ms.xy1).reshape(n_obj, n_views * s_m, 3)
+        xys = ms.xy0.reshape(n_obj, n_views * s_m, 2)
+        vals = ms.valid.reshape(n_obj, n_views * s_m)
         keys = jax.random.split(key, n_obj)
         pnp = jax.vmap(
             lambda p3, xy, v, k: solve_pnp_ransac(p3, xy, K, valid=v, key=k)
@@ -408,23 +410,18 @@ def bench_registration_amortized() -> dict:
 
     def stage_b_multi(acc, p, a, b, key):
         out = model.apply({"params": p}, a, b)
-        per_obj = []
-        for i in range(n_obj):
-            m = reciprocal_nn_match(out["desc0"][i], out["desc1"][i])
-            per_obj.append((lift(m), m.xy0, m.valid))
-        pts = jnp.stack([p3 for p3, _, _ in per_obj])
-        xys = jnp.stack([xy for _, xy, _ in per_obj])
-        vals = jnp.stack([v for _, _, v in per_obj])
+        ms = _nn_all(out)
         keys = jax.random.split(key, n_obj)
         pnp = jax.vmap(
             lambda p3, xy, v, k: solve_pnp_ransac(p3, xy, K, valid=v, key=k)
-        )(pts, xys, vals, keys)
-        return acc + pnp.rotation.sum() + pnp.translation.sum() + xys.sum()
+        )(_lift(ms.xy1), ms.xy0, ms.valid, keys)
+        return acc + pnp.rotation.sum() + pnp.translation.sum() + ms.xy0.sum()
 
     try:
         dt_a = _timed_chain(
             jax.jit(orbit_step_multi),
-            lambda it: (params, refs_all, views_all, jax.random.fold_in(key, it)),
+            lambda it: (params, refs_all, views_all, ref_index,
+                        jax.random.fold_in(key, it)),
             iters=2, warmup=1,
         )
         dt_b = _timed_chain(
