@@ -94,7 +94,13 @@ class Mlp(nn.Module):
             x = nn.silu(x1) * x2
             return nn.Dense(cfg.width, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="w3")(x)
         x = nn.Dense(hidden, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(x)
+        # Keep the exact-erf GELU out of the matmul fusions: fused into
+        # fc2's operand it stalls the MXU pipeline on VPU work (round-4
+        # ViT-L/518 profile: fc2 at 91 TFLOP/s vs fc1's 171 with identical
+        # FLOPs). Standalone it is one HBM-rate elementwise pass.
+        x = jax.lax.optimization_barrier(x)
         x = nn.gelu(x, approximate=False)
+        x = jax.lax.optimization_barrier(x)
         return nn.Dense(cfg.width, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(x)
 
 

@@ -80,21 +80,31 @@ def main() -> None:
         except OSError:
             pass
         data = data.decode()
-    rows = json.loads(data)
-    # rows: list of dicts with occurrences, total/avg self-time, bound-by.
+    obj = json.loads(data)
+    # Two observed shapes: a flat list of row dicts, or a gviz-style list
+    # of {cols: [{id,...}], rows: [{c: [{v}, ...]}]} tables.
+    rows = []
+    for t in obj if isinstance(obj, list) else [obj]:
+        if isinstance(t, dict) and "cols" in t:
+            ids = [c["id"] for c in t["cols"]]
+            rows += [dict(zip(ids, [c.get("v") for c in r["c"]]))
+                     for r in t["rows"]]
+            break  # duplicate tables per device plane
+        if isinstance(t, dict):
+            rows.append(t)
     dev = [r for r in rows if isinstance(r, dict)
            and r.get("host_or_device") == "Device"]
-    dev.sort(key=lambda r: -float(r.get("total_self_time", 0.0)))
-    total = sum(float(r.get("total_self_time", 0.0)) for r in dev)
+    dev.sort(key=lambda r: -float(r.get("total_self_time") or 0.0))
+    total = sum(float(r.get("total_self_time") or 0.0) for r in dev)
     print(f"{'op':<58} {'self_us':>12} {'%':>6} {'bound':>10} {'occ':>6}")
     for r in dev[: args.top]:
-        st = float(r.get("total_self_time", 0.0))
+        st = float(r.get("total_self_time") or 0.0)
         print(f"{str(r.get('operation', r.get('type')))[:58]:<58} "
               f"{st:>12.0f} {100 * st / max(total, 1e-9):>6.1f} "
               f"{str(r.get('bound_by', ''))[:10]:>10} "
-              f"{int(float(r.get('occurrences', 0))):>6}")
+              f"{int(float(r.get('occurrences') or 0)):>6}")
     print(f"total device self-time: {total / 1e6:.3f} s over {args.iters} iters "
-          f"-> {args.batch * args.iters / (total / 1e6):.1f} img/s device-only")
+          f"-> {args.batch * args.iters / max(total / 1e6, 1e-9):.1f} img/s device-only")
 
 
 if __name__ == "__main__":
