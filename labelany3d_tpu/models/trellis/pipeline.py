@@ -34,7 +34,6 @@ from labelany3d_tpu.models.trellis.decoders import (
 )
 from labelany3d_tpu.models.trellis.samplers import (
     FlowSamplerConfig,
-    cfg_velocity,
     flow_euler_sample,
 )
 from labelany3d_tpu.models.trellis.slat import SLatConfig, SLatFlowModel
@@ -246,12 +245,17 @@ class TrellisPipeline:
         def program(p_ss, p_dec, cond, uncond, key):
             r3 = c.structure.latent_res**3
             noise = jax.random.normal(key, (1, r3, c.structure.latent_channels))
+            # CFG as one batch-2 eval (cond | uncond); models take 1000 * t
+            # (FlowEulerSampler._inference_model).
+            tok2 = jnp.concatenate([cond, uncond], axis=0)
 
-            def model_fn(x, t, tok):
-                # Models take 1000 * t (FlowEulerSampler._inference_model).
-                return self.ss_model.apply({"params": p_ss}, x, 1000.0 * t, tok)
+            def vel(x, t):
+                x2 = jnp.broadcast_to(x, (2, *x.shape[1:]))
+                v = self.ss_model.apply(
+                    {"params": p_ss}, x2, jnp.broadcast_to(1000.0 * t, (2,)), tok2)
+                s = c.ss_sampler.cfg_strength
+                return (1.0 + s) * v[:1] - s * v[1:]
 
-            vel = cfg_velocity(model_fn, cond, uncond, c.ss_sampler.cfg_strength)
             latent = flow_euler_sample(vel, noise, c.ss_sampler)
             logits = self.ss_decoder.apply({"params": p_dec}, latent)
             return decode_occupancy(logits, c.max_voxels)
@@ -259,18 +263,56 @@ class TrellisPipeline:
         fn = self._jitted("sparse_structure", program)
         return fn(self.params["ss"], self.params["ss_dec"], cond, uncond, key)
 
+    @staticmethod
+    def _slat_buckets(coords: np.ndarray, valid: np.ndarray,
+                      max_voxels: int) -> tuple[int, int]:
+        """Pick static (fine, torso) slot buckets from the ACTUAL voxel set.
+
+        `decode_occupancy` emits voxels sorted by logit, so valid slots are
+        a front-compacted prefix; the fine bucket is the prefix length
+        rounded up to 1024. The torso bucket is the factor-2 parent-cell
+        count (what the reference's SparseDownsample leaves the torso to
+        run on — surface-like sets occupy ~N/4 cells) rounded up to 512.
+        Each bucket pair is one jitted program; real objects cluster in a
+        handful of buckets.
+        """
+        v = valid.reshape(-1)
+        n_real = int(v.sum())
+        if n_real == 0 or (n_real < v.size and v[n_real:].any()):
+            # Empty or non-prefix validity (not a decode_occupancy output):
+            # keep the full slot budget.
+            return max_voxels, max_voxels
+        n_fine = min(max_voxels, -(-n_real // 1024) * 1024)
+        pc = coords.reshape(-1, 3)[:n_real] // 2
+        codes = (pc[:, 0].astype(np.int64) << 32) | (pc[:, 1].astype(np.int64) << 16) | pc[:, 2]
+        n_parent = len(np.unique(codes))
+        torso = min(n_fine, max(512, -(-n_parent // 512) * 512))
+        return n_fine, torso
+
     def sample_slat(self, coords, valid, cond, uncond, key):
         c = self.cfg
+        n_fine, torso = self._slat_buckets(
+            np.asarray(coords), np.asarray(valid), c.max_voxels)
 
         def program(p, coords, valid, cond, uncond, key):
             n = coords.shape[1]
             noise = jax.random.normal(key, (1, n, c.slat.latent_channels))
+            # CFG as ONE batch-2 eval (cond | uncond): same FLOPs as the
+            # reference's two sequential evals, half the kernel launches
+            # and half the HLO (faster tunnel program load).
+            tok2 = jnp.concatenate([cond, uncond], axis=0)
+            coords2 = jnp.broadcast_to(coords, (2, *coords.shape[1:]))
+            valid2 = jnp.broadcast_to(valid, (2, *valid.shape[1:]))
 
-            def model_fn(x, t, tok):
-                return self.slat_model.apply(
-                    {"params": p}, x, coords, valid, 1000.0 * t, tok)
+            def vel(x, t):
+                x2 = jnp.broadcast_to(x, (2, *x.shape[1:]))
+                v = self.slat_model.apply(
+                    {"params": p}, x2, coords2, valid2,
+                    jnp.broadcast_to(1000.0 * t, (2,)), tok2,
+                    torso_slots=torso)
+                s = c.slat_sampler.cfg_strength
+                return (1.0 + s) * v[:1] - s * v[1:]
 
-            vel = cfg_velocity(model_fn, cond, uncond, c.slat_sampler.cfg_strength)
             slat = flow_euler_sample(vel, noise, c.slat_sampler)
             # De-normalize with the released pipeline's slat statistics
             # (`trellis_image_to_3d.py` sample_slat std/mean).
@@ -278,8 +320,12 @@ class TrellisPipeline:
             mean = jnp.asarray(c.slat_mean, jnp.float32)
             return slat * std + mean
 
-        fn = self._jitted("slat", program)
-        return fn(self.params["slat"], coords, valid, cond, uncond, key)
+        fn = self._jitted(f"slat_{n_fine}_{torso}", program)
+        out = fn(self.params["slat"], coords[:, :n_fine], valid[:, :n_fine],
+                 cond, uncond, key)
+        if n_fine < c.max_voxels:
+            out = jnp.pad(out, ((0, 0), (0, c.max_voxels - n_fine), (0, 0)))
+        return out
 
     def decode(self, slat, coords, valid):
         fn = self._jitted(

@@ -128,7 +128,18 @@ class SLatFlowModel(nn.Module):
     cfg: SLatConfig
 
     @nn.compact
-    def __call__(self, feats, coords, valid, t, cond_tokens):
+    def __call__(self, feats, coords, valid, t, cond_tokens,
+                 torso_slots: int | None = None):
+        """`torso_slots` (static) caps the slot count entering the DiT
+        torso: `sparse_pool_pair` writes parents compacted at the front in
+        ascending cell-code order, so for surface-like voxel sets (~4
+        children per 2^3 parent cell) the coarse level occupies only ~N/4
+        slots — slicing to the actual parent count cuts the torso's
+        attention cost quadratically and every other coarse-level op
+        linearly. The caller (`TrellisPipeline.sample_slat`) measures the
+        real parent count host-side and picks a bucket; an under-budgeted
+        call degrades gracefully (overflow children unpool to zero, see
+        `sparse_unpool`) but is never produced by the pipeline."""
         cfg = self.cfg
         dit = cfg.dit
         b = feats.shape[0]
@@ -146,7 +157,8 @@ class SLatFlowModel(nn.Module):
         skips = []          # per-input-block feature skips
         levels = []         # (fine_coords, fine_valid, fine_gs, child2parent)
         bi = 0
-        for chs, next_chs in zip(io, io[1:] + [dit.width]):
+        n_levels = len(io)
+        for li, (chs, next_chs) in enumerate(zip(io, io[1:] + [dit.width])):
             for _ in range(cfg.num_io_res_blocks - 1):
                 h = SparseResBlock3d(chs, chs, dit.dtype, name=f"in{bi}")(
                     h, cur_coords, cur_valid, t_emb, gs)
@@ -158,6 +170,11 @@ class SLatFlowModel(nn.Module):
             pooled = jax.vmap(lambda f, c, v, g=gs: sparse_pool_pair(f, c, v, 2, g))(
                 h, cur_coords, cur_valid)
             h, cur_coords, cur_valid, c2p = pooled
+            if (li == n_levels - 1 and torso_slots
+                    and torso_slots < h.shape[1]):
+                h = h[:, :torso_slots]
+                cur_coords = cur_coords[:, :torso_slots]
+                cur_valid = cur_valid[:, :torso_slots]
             levels.append((*fine, c2p))
             gs //= 2
             h = SparseResBlock3d(chs, next_chs, dit.dtype, name=f"in{bi}")(

@@ -93,29 +93,45 @@ def main() -> None:
         x0 = jnp.asarray(rng.normal(
             size=(1, cfg.latent_res**3, cfg.latent_channels)).astype(np.float32))
         params = zeros_params(model, x0, t1, cond)
+        t2 = jnp.full((2,), 500.0)
+        cond2 = jnp.concatenate([cond, uncond], axis=0)
 
         def step(acc, x, p):
-            v_c = model.apply({"params": p}, x, t1, cond)
-            v_u = model.apply({"params": p}, x, t1, uncond)
-            v = v_u + 7.5 * (v_c - v_u)
-            x2 = x + (1.0 / 25.0) * v
+            v = model.apply({"params": p}, jnp.broadcast_to(x, (2, *x.shape[1:])), t2, cond2)
+            v2 = (1.0 + 7.5) * v[:1] - 7.5 * v[1:]
+            x2 = x + (1.0 / 25.0) * v2
             return acc + x2.sum(), x2
     else:
+        from labelany3d_tpu.models.trellis.pipeline import TrellisPipeline
         from labelany3d_tpu.models.trellis.slat import SLatConfig, SLatFlowModel
 
         cfg = SLatConfig()
         model = SLatFlowModel(cfg)
-        n = 8192
-        x0 = jnp.asarray(rng.normal(size=(1, n, cfg.latent_channels)).astype(np.float32))
-        coords = jnp.asarray(rng.integers(0, cfg.resolution, (1, n, 3)).astype(np.int32))
-        valid = jnp.ones((1, n), bool)
-        params = zeros_params(model, x0, coords, valid, t1, cond)
+        n, g = 8192, cfg.resolution
+        ax = np.arange(g)
+        gg = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+        rr = np.linalg.norm(gg - g / 2, axis=1)
+        for frac in np.linspace(0.45, 0.2, 26):
+            shell = gg[np.abs(rr - g * frac) < 0.9]
+            if len(shell) <= n:
+                break
+        coords_np = np.zeros((1, n, 3), np.int32)
+        coords_np[0, : len(shell)] = shell
+        valid_np = (np.arange(n) < len(shell))[None]
+        n_fine, torso = TrellisPipeline._slat_buckets(coords_np, valid_np, n)
+        print(f"shell={len(shell)} n_fine={n_fine} torso={torso}")
+        coords2 = jnp.broadcast_to(jnp.asarray(coords_np[:, :n_fine]), (2, n_fine, 3))
+        valid2 = jnp.broadcast_to(jnp.asarray(valid_np[:, :n_fine]), (2, n_fine))
+        t2 = jnp.full((2,), 500.0)
+        cond2 = jnp.concatenate([cond, uncond], axis=0)
+        x0 = jnp.asarray(rng.normal(size=(1, n_fine, cfg.latent_channels)).astype(np.float32))
+        params = zeros_params(model, x0, coords2[:1], valid2[:1], t1, cond)
 
         def step(acc, x, p):
-            v_c = model.apply({"params": p}, x, coords, valid, t1, cond)
-            v_u = model.apply({"params": p}, x, coords, valid, t1, uncond)
-            v = v_u + 3.0 * (v_c - v_u)
-            x2 = x + (1.0 / 25.0) * v
+            v = model.apply({"params": p}, jnp.broadcast_to(x, (2, *x.shape[1:])),
+                            coords2, valid2, t2, cond2, torso_slots=torso)
+            v2 = (1.0 + 3.0) * v[:1] - 3.0 * v[1:]
+            x2 = x + (1.0 / 25.0) * v2
             return acc + x2.sum(), x2
 
     f = jax.jit(step)

@@ -126,6 +126,67 @@ def test_slat_flow_batched_matches_per_element():
         np.testing.assert_allclose(batched[b], single[0], atol=2e-5, rtol=1e-4)
 
 
+def test_slat_torso_compaction_exact():
+    """Slicing the torso to a bucket >= the true parent count must be
+    EXACTLY the unsliced model (the pipeline picks the bucket from the
+    actual coords, so compaction is a pure layout change, not an approx)."""
+    from labelany3d_tpu.ops.sparse_conv import sparse_pool_pair
+
+    cfg = SLatConfig.tiny_test()
+    model = SLatFlowModel(cfg)
+    n = 64
+    rng = np.random.default_rng(3)
+    # Surface-like set: a thin shell -> few parent cells, front-compacted
+    # validity like decode_occupancy's output.
+    coords = np.stack(np.meshgrid(*([np.arange(cfg.grid_size)] * 3),
+                                  indexing="ij"), -1).reshape(-1, 3)
+    r = np.linalg.norm(coords - cfg.grid_size / 2, axis=1)
+    shell = coords[np.abs(r - cfg.grid_size / 3) < 1.0][:n]
+    n_real = len(shell)
+    coords = np.zeros((1, n, 3), np.int32)
+    coords[0, :n_real] = shell
+    valid = (np.arange(n) < n_real)[None]
+    feats = rng.standard_normal((1, n, cfg.latent_channels)).astype(np.float32)
+    t = jnp.array([300.0])
+    cond = jnp.asarray(rng.standard_normal((1, 4, cfg.dit.cond_dim)), jnp.float32)
+
+    n_parent = len(np.unique((shell // 2) @ np.array([10000, 100, 1])))
+    bucket = int(np.ceil((n_parent + 1) / 8) * 8)
+    assert bucket < n  # compaction actually engages
+
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                        jnp.asarray(coords), jnp.asarray(valid), t, cond)
+    full = np.asarray(model.apply(params, jnp.asarray(feats), jnp.asarray(coords),
+                                  jnp.asarray(valid), t, cond))
+    sliced = np.asarray(model.apply(params, jnp.asarray(feats), jnp.asarray(coords),
+                                    jnp.asarray(valid), t, cond,
+                                    torso_slots=bucket))
+    np.testing.assert_allclose(sliced, full, atol=1e-5, rtol=1e-5)
+
+
+def test_slat_bucket_selection():
+    from labelany3d_tpu.models.trellis.pipeline import TrellisPipeline
+
+    # Prefix-valid surface set -> tight buckets.
+    coords = np.zeros((1, 8192, 3), np.int32)
+    g = np.stack(np.meshgrid(np.arange(40), np.arange(40), indexing="ij"), -1)
+    plane = np.concatenate([g.reshape(-1, 2), np.full((1600, 1), 7)], 1)
+    coords[0, :1600] = plane
+    valid = (np.arange(8192) < 1600)[None]
+    n_fine, torso = TrellisPipeline._slat_buckets(coords, valid, 8192)
+    assert n_fine == 2048
+    # 40x40 plane at z=7 -> 20*20 parent cells = 400 -> bucket 512.
+    assert torso == 512
+    # Non-prefix validity falls back to the full budget.
+    v2 = valid.copy()
+    v2[0, 0] = False
+    v2[0, 4000] = True
+    assert TrellisPipeline._slat_buckets(coords, v2, 8192) == (8192, 8192)
+    # Empty set keeps the full budget too.
+    assert TrellisPipeline._slat_buckets(
+        coords, np.zeros_like(valid), 8192) == (8192, 8192)
+
+
 def test_sparse_pool_pair_roundtrip():
     from labelany3d_tpu.ops.sparse_conv import sparse_pool_pair, sparse_unpool
 
