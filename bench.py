@@ -49,7 +49,7 @@ HOST_TIMED_IMAGES = 3
 # the headline ran under the full 1700s alarm on a sick tunnel, consumed
 # ~1600s, and all four sub-benches were skipped). Warm-cache full run is
 # ~600s; cold compiles persist to /tmp/la3d_jax_cache.
-EXTRA_BUDGET_S = 1700.0
+EXTRA_BUDGET_S = 2150.0  # r5: +450 for the full `all`-route section
 # Headline cap: 3 timed windows of 50 iters @ ~0.015s/batch is ~30s warm;
 # 420s absorbs a cold compile + slow program load with a wide margin.
 HEADLINE_BUDGET_S = 420.0
@@ -633,11 +633,15 @@ def bench_generative() -> dict:
     t1 = jnp.full((1,), 500.0)
     p_ss = _zeros_params(ss, x_ss, t1, cond)
 
+    cond2 = jnp.concatenate([cond, uncond], axis=0)
+    t2 = jnp.full((2,), 500.0)
+
     def ss_step(acc, x, p):
-        v_c = ss.apply({"params": p}, x, t1, cond)
-        v_u = ss.apply({"params": p}, x, t1, uncond)
-        v = v_u + 7.5 * (v_c - v_u)
-        x2 = x + (1.0 / 25.0) * v
+        # Production CFG shape (pipeline.sample_sparse_structure): one
+        # batch-2 eval (cond | uncond) instead of two sequential evals.
+        v = ss.apply({"params": p}, jnp.broadcast_to(x, (2, *x.shape[1:])), t2, cond2)
+        v2 = (1.0 + 7.5) * v[:1] - 7.5 * v[1:]
+        x2 = x + (1.0 / 25.0) * v2
         return acc + x2.sum(), x2
 
     f_ss = jax.jit(ss_step)
@@ -660,23 +664,46 @@ def bench_generative() -> dict:
     run_sect("trellis_ss", 0, lambda: out.update(
         trellis_ss_cfg_step_ms=round(chain2(f_ss, x_ss, 6, p_ss), 1)))
 
-    # --- TRELLIS SLat flow step at max_voxels=8192, same torso.
+    # --- TRELLIS SLat flow step at max_voxels=8192 on a production-like
+    # voxel set (SS decodes object SURFACES, not uniform noise): a sphere
+    # shell filling all 8192 fine slots, whose factor-2 parent count sets
+    # the torso bucket exactly as `TrellisPipeline.sample_slat` does.
     def _sec_slat():
+        from labelany3d_tpu.models.trellis.pipeline import TrellisPipeline
         from labelany3d_tpu.models.trellis.slat import SLatConfig, SLatFlowModel
 
         sl_cfg = SLatConfig()
         sl = SLatFlowModel(sl_cfg)
         n = 8192
-        x_sl = jnp.asarray(rng.normal(size=(1, n, sl_cfg.latent_channels)).astype(np.float32))
-        coords = jnp.asarray(rng.integers(0, sl_cfg.resolution, (1, n, 3)).astype(np.int32))
-        valid = jnp.ones((1, n), bool)
-        p_sl = _zeros_params(sl, x_sl, coords, valid, t1, cond)
+        g = sl_cfg.resolution
+        ax = np.arange(g)
+        gg = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+        r = np.linalg.norm(gg - g / 2, axis=1)
+        # Largest COMPLETE shell that fits the slot budget (a real object's
+        # decoded surface is contiguous; a random subsample would overstate
+        # the parent-cell count and understate production compaction).
+        for frac in np.linspace(0.45, 0.2, 26):
+            shell = gg[np.abs(r - g * frac) < 0.9]
+            if len(shell) <= n:
+                break
+        coords_np = np.zeros((1, n, 3), np.int32)
+        coords_np[0, : len(shell)] = shell
+        valid_np = (np.arange(n) < len(shell))[None]
+        n_fine, torso = TrellisPipeline._slat_buckets(coords_np, valid_np, n)
+        out["trellis_slat_torso_slots"] = torso
+        coords = jnp.asarray(coords_np[:, :n_fine])
+        valid = jnp.asarray(valid_np[:, :n_fine])
+        coords2 = jnp.broadcast_to(coords, (2, n_fine, 3))
+        valid2 = jnp.broadcast_to(valid, (2, n_fine))
+        x_sl = jnp.asarray(
+            rng.normal(size=(1, n_fine, sl_cfg.latent_channels)).astype(np.float32))
+        p_sl = _zeros_params(sl, x_sl[:1], coords, valid, t1, cond)
 
         def sl_step(acc, x, p):
-            v_c = sl.apply({"params": p}, x, coords, valid, t1, cond)
-            v_u = sl.apply({"params": p}, x, coords, valid, t1, uncond)
-            v = v_u + 3.0 * (v_c - v_u)
-            x2 = x + (1.0 / 25.0) * v
+            v = sl.apply({"params": p}, jnp.broadcast_to(x, (2, *x.shape[1:])),
+                         coords2, valid2, t2, cond2, torso_slots=torso)
+            v2 = (1.0 + 3.0) * v[:1] - 3.0 * v[1:]
+            x2 = x + (1.0 / 25.0) * v2
             return acc + x2.sum(), x2
 
         f_sl = jax.jit(sl_step)
@@ -749,6 +776,136 @@ def bench_generative() -> dict:
 
     run_sect("attn_dit", 90, _sec_attn)
     return out
+
+
+def bench_e2e_full() -> dict:
+    """The FULL `runner.py all` route on-chip (VERDICT r4 ask #2): synthetic
+    2-image shard through depth -> enhance (InvSR) -> crops -> completion
+    (SD UNet dual-CFG) -> elevation (Zero123) -> reconstruction (TRELLIS,
+    production 25+25 schedule, random weights) -> layout (matcher
+    registration) -> export, with per-stage seconds. Every stage's time is
+    partial-emitted the moment it lands, so a killed section still records
+    the stages that ran. Random weights: dense device cost is weight-value
+    independent; quality is not measured here."""
+    import shutil
+    import tempfile
+
+    from labelany3d_tpu.data.rle import mask_to_rle, rle_to_string
+    from labelany3d_tpu.models.depth_pro import DepthProConfig
+    from labelany3d_tpu.models.fakes import FakeScene
+    from labelany3d_tpu.models.moge import MoGeConfig
+    from labelany3d_tpu.models.registry import get_model
+    from labelany3d_tpu.pipeline.backends import (
+        JaxDepthBackend,
+        register_default_backends,
+    )
+    from labelany3d_tpu.pipeline.config import PipelineConfig
+    from labelany3d_tpu.pipeline.stages import (
+        CompletionStage,
+        CropStage,
+        DepthStage,
+        ElevationStage,
+        EnhanceStage,
+        ExportStage,
+        LayoutStage,
+        ReconstructionStage,
+    )
+    from labelany3d_tpu.pipeline.stages.common import ArrayImageSource
+
+    register_default_backends()
+    n_images = 2
+    size = 512
+    scene = FakeScene(width=size, height=size, fx=500.0, fy=500.0)
+    img, depth, masks, _ = scene.make(
+        [{"z": 4.0, "rect": (80, 90, 230, 260)}, {"z": 6.0, "rect": (280, 120, 460, 380)}]
+    )
+    n_objects = n_images * len(masks)
+
+    class _Loader:
+        def __init__(self):
+            self.images = [
+                {"id": i + 1, "file_name": f"{i + 1:012d}.jpg", "height": size, "width": size}
+                for i in range(n_images)
+            ]
+
+        def get_image_by_index(self, i):
+            return self.images[i]
+
+        def get_annotations(self, image_id):
+            annos = []
+            for m in masks:
+                ys, xs = np.nonzero(m)
+                annos.append({
+                    "image_id": image_id,
+                    "category_id": 62,
+                    "iscrowd": 0,
+                    "bbox": [float(xs.min()), float(ys.min()),
+                             float(xs.max() - xs.min() + 1), float(ys.max() - ys.min() + 1)],
+                    "segmentation": {
+                        "size": [size, size],
+                        "counts": rle_to_string(mask_to_rle(m)).decode(),
+                    },
+                })
+            return annos
+
+        def __len__(self):
+            return len(self.images)
+
+    loader = _Loader()
+    source = ArrayImageSource({i + 1: img for i in range(n_images)})
+    cfg = PipelineConfig(batch_size=2, max_instances=8, num_points=512,
+                         image_height=size, image_width=size)
+    backend = JaxDepthBackend(MoGeConfig.vitl(), DepthProConfig(),
+                              pin_hw=(size, size), use_mesh=False)
+
+    res: dict = {}
+    tmp = tempfile.mkdtemp(prefix="la3d_benchfull_")
+    sd = tmp + "/run"
+    t_route = time.perf_counter()
+
+    def stage(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        res[f"e2e_full_{name}_s"] = round(time.perf_counter() - t0, 2)
+        _emit_partial(res)
+
+    try:
+        stage("depth", lambda: DepthStage(
+            cfg, backend, loader, source, sd, "val").run(0, n_images))
+        stage("enhance", lambda: EnhanceStage(
+            cfg, loader, source, sd, "val",
+            backend=get_model("enhance", backend="invsr")).run(0, n_images))
+        stage("crops", lambda: CropStage(
+            cfg, loader, source, sd, "val").run(0, n_images))
+        stage("completion", lambda: CompletionStage(
+            cfg, loader, sd, "val",
+            backend=get_model("completion", backend="our")).run(0, n_images))
+        stage("elevation", lambda: ElevationStage(
+            cfg, loader, sd, "val",
+            backend=get_model("elevation", backend="zero123")).run(0, n_images))
+        stage("reconstruction", lambda: ReconstructionStage(
+            cfg, loader, sd, "val",
+            backend=get_model("reconstruction", backend="trellis")).run(0, n_images))
+        stage("layout", lambda: LayoutStage(
+            cfg, loader, sd, "val",
+            matcher=get_model("matcher")).run(0, n_images))
+        stage("export", lambda: ExportStage(sd, "val").run())
+        total = time.perf_counter() - t_route
+        res["e2e_full_images_per_sec"] = round(n_images / total, 3)
+        res["e2e_full_objects_per_sec"] = round(n_objects / total, 3)
+        res["e2e_full_total_s"] = round(total, 1)
+        # Per-stage share of the route (cold: includes compile+program load;
+        # the XLA disk cache persists across runs, the tunnel load doesn't).
+        shares = {k: v for k, v in res.items()
+                  if k.startswith("e2e_full_") and k.endswith("_s")
+                  and k != "e2e_full_total_s"}
+        top = max(shares, key=shares.get)
+        res["e2e_full_dominant_stage"] = (
+            f"{top.removeprefix('e2e_full_').removesuffix('_s')} "
+            f"({100 * shares[top] / max(total, 1e-9):.0f}%)")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return res
 
 
 def bench_host_e2e() -> float:
@@ -931,6 +1088,7 @@ def main():
         _enable_compile_cache()
         fns = {"depth": bench_depth_models, "registration": bench_registration,
                "generative": bench_generative, "e2e": bench_e2e_fast,
+               "e2e_full": bench_e2e_full,
                "registration_amortized": bench_registration_amortized}
         for name in names:
             _PARTIAL_EMIT = (lambda d, _n=name:
@@ -1012,13 +1170,17 @@ def main():
     import os
     import threading
 
-    sections = [("depth", 240.0),
-                ("registration", 240.0),
-                ("e2e", 420.0),
-                ("generative", 300.0),
+    sections = [("depth", 220.0),
+                ("registration", 220.0),
+                ("e2e", 400.0),
+                ("generative", 280.0),
+                # The full `all`-route record (VERDICT r4 ask #2). After
+                # generative so its TRELLIS programs enter warm, before the
+                # amortized tail so a wedged matcher load can't starve it.
+                ("e2e_full", 540.0),
                 # Last on purpose: its batch-32 matcher program load can
                 # wedge on a degraded tunnel; here it only burns leftovers.
-                ("registration_amortized", 120.0)]
+                ("registration_amortized", 100.0)]
     pending = list(sections)
     while pending:
         left = EXTRA_BUDGET_S - (time.perf_counter() - _T_START)

@@ -69,10 +69,14 @@ def scene_to_omni3d(
     as the reference does — so image ids and file mappings stay aligned.
 
     `tight_fallback` (default on) is an intentional robustness improvement
-    over the reference: annotations left unmatched by Hungarian matching get
+    over the reference: annotations left UNMATCHED by Hungarian matching get
     `bbox2D_tight = bbox2D_trunc` instead of a missing key, so downstream
-    consumers never KeyError. Pass False to reproduce the reference's
-    missing-key behavior bit-for-bit (`combine_results.py:278-286`).
+    consumers never KeyError. Pass False to reproduce the reference
+    bit-for-bit (`combine_results.py:278-286`): when matching ran, losers
+    keep a missing key; when no 2D boxes exist at all, the reference itself
+    falls back to `bbox2D_tight = bbox2D_trunc` for every annotation
+    (its `else` branch) — verified against the reference's own module in
+    `tests/test_parity_export.py`.
     """
     K = np.asarray(cam_params["K"], np.float64)
     H, W = cam_params["H"], cam_params["W"]
@@ -126,12 +130,14 @@ def scene_to_omni3d(
 
     # Tight 2D boxes: Hungarian-match the truncated projections against the
     # scene's COCONUT 2D boxes; fall back to the truncated projection.
+    matched = False
     if bbox2d_list and annotations:
         trunc_boxes = np.asarray([a["bbox2D_trunc"] for a in annotations], np.float64)
         matches = hungarian_match(trunc_boxes, np.asarray(bbox2d_list, np.float64))
         for i, j, _iou in matches:
             annotations[i]["bbox2D_tight"] = bbox2d_list[j]
-    if tight_fallback:
+        matched = True
+    if tight_fallback or not matched:
         for a in annotations:
             a.setdefault("bbox2D_tight", a["bbox2D_trunc"])
 

@@ -78,3 +78,9 @@ def load_reference():
     cam = _load("ref_cam_utils", "cam_utils.py")
     pose = _load("ref_pose_estimator", "matching/pose_estimator.py")
     return u3d, util, cam, pose
+
+
+def load_reference_combine_results():
+    """The reference's ACTUAL stage-8 exporter (`tools/combine_results.py`)
+    — imports only numpy/scipy/tqdm, so no stubs are needed."""
+    return _load("ref_combine_results", "tools/combine_results.py")

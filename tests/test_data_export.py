@@ -263,15 +263,26 @@ def test_scene_to_omni3d_all_unknown_categories_keeps_image():
 
 
 def test_scene_to_omni3d_tight_fallback_flag():
-    """tight_fallback=False reproduces the reference's missing-key behavior
-    for annotations unmatched by Hungarian matching."""
+    """tight_fallback=False reproduces the reference exactly
+    (combine_results.py:278-286, verified against the loaded module in
+    test_parity_export.py): when matching never ran (no 2D boxes), the
+    reference ITSELF falls back to tight = trunc for every annotation;
+    the missing key appears only for Hungarian match LOSERS."""
     cam_params, bbox_list = _toy_scene_artifacts()
     img, annos = scene_to_omni3d(
         "000000000001", cam_params, bbox_list, None,
         "val", 1000000, 100000000, 22, tight_fallback=False,
     )
     assert img is not None and len(annos) == 1
-    assert "bbox2D_tight" not in annos[0]
+    assert annos[0]["bbox2D_tight"] == annos[0]["bbox2D_trunc"]
+    # Two annotations, one 2D box: the loser keeps a missing key.
+    two = bbox_list + [dict(bbox_list[0], obj_id="9")]
+    img, annos = scene_to_omni3d(
+        "000000000001", cam_params, two, [[10.0, 10.0, 100.0, 80.0]],
+        "val", 1000000, 100000000, 22, tight_fallback=False,
+    )
+    assert len(annos) == 2
+    assert sum("bbox2D_tight" in a for a in annos) == 1
 
 
 def test_combine_results_directory_contract(tmp_path):
