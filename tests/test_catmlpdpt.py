@@ -32,6 +32,7 @@ def test_resize_align_corners_matches_torch():
     np.testing.assert_allclose(out, ref, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_catmlpdpt_matcher_forward():
     cfg = MatcherConfig.tiny_catmlpdpt_test()
     model = TwoViewMatcher(cfg)

@@ -60,6 +60,7 @@ def test_convert_cli_unknown_model():
         main(["nope", "x.pt"])
 
 
+@pytest.mark.heavy
 def test_convert_cli_mvd_dir_roundtrip(tmp_path):
     """diffusers-layout mvd_std pipeline dir -> orbax -> MVDStdViews runs
     with the converted UNet (parity of the graph itself is covered by

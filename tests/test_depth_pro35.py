@@ -41,6 +41,7 @@ def test_split_merge_reference_layout():
     np.testing.assert_array_equal(merged[:, 20:24, 20:24], x[:, 20:24, 20:24])
 
 
+@pytest.mark.heavy
 def test_depth_pro35_tiny_forward_and_infer():
     cfg = DepthPro35Config.tiny_test()
     model = DepthPro35(cfg)

@@ -20,6 +20,7 @@ from labelany3d_tpu.models.diffusion import (
 )
 
 
+@pytest.mark.heavy
 def test_unet_shapes_and_zero_init():
     cfg = UNetConfig.tiny_test()
     model = UNet2D(cfg)

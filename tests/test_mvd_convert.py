@@ -346,6 +346,7 @@ def test_mvd_config_from_hf_json():
     assert cfg.pooled_dim == 1280
 
 
+@pytest.mark.heavy
 def test_mvd_views_pipeline_tiny():
     """End-to-end tiny run: six deterministic uint8 tiles in the
     [0,2,4,5,3,1]-reordered azimuth order; the novel_views protocol indexes

@@ -176,6 +176,7 @@ def test_noise_predictor_matches_torch_replica():
     np.testing.assert_allclose(np.asarray(out2["mean"]), np.asarray(out["mean"]))
 
 
+@pytest.mark.heavy
 def test_invsr_uses_predicted_noise():
     """InvSREnhance with a noise predictor draws its inversion noise from
     the predictor posterior (machinery contract; random weights)."""

@@ -96,6 +96,7 @@ def test_train_step_dp_tp_executes_and_learns():
     assert losses[-1] < losses[0]  # optimizing the sharded model reduces loss
 
 
+@pytest.mark.heavy
 def test_graft_entry_contract():
     import importlib.util, pathlib
 

@@ -134,6 +134,7 @@ def test_opencv_orbit_pose_geometry():
     assert up_cam[1] < -0.9
 
 
+@pytest.mark.heavy
 def test_register_object_recovers_pose(registration_world):
     (mesh, K_img, image_hw, R_gt, t_gt, s_gt, T_gt,
      scene_depth, scene_mask, renderer) = registration_world
@@ -154,6 +155,7 @@ def test_register_object_recovers_pose(registration_world):
     np.testing.assert_allclose(res.transform[:3, 3], s_gt * t_gt, atol=0.25)
 
 
+@pytest.mark.heavy
 def test_align_to_depth_match_identity_on_failure(registration_world):
     (mesh, K_img, image_hw, *_rest, renderer) = registration_world
 
@@ -261,6 +263,7 @@ def two_object_world():
     return mesh, K_img, image_hw, gts, scene_depth, masks, renderer
 
 
+@pytest.mark.heavy
 def test_register_objects_batch_recovers_both_poses(two_object_world):
     """Whole-image batched registration (one matcher dispatch set + vmapped
     PnP/scale) recovers every object's pose, scale, and transform."""
@@ -291,6 +294,7 @@ def test_register_objects_batch_recovers_both_poses(two_object_world):
         np.testing.assert_allclose(res.transform[:3, 3], s_gt * t_gt, atol=0.3)
 
 
+@pytest.mark.heavy
 def test_register_objects_isolates_failures(two_object_world):
     """A matchless object reports ok=False without poisoning its neighbors
     (the vmapped solves keep static shapes; failures resolve on host)."""

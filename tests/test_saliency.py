@@ -159,6 +159,7 @@ def _oracle_pair():
     return oracle, cfg, params
 
 
+@pytest.mark.heavy
 def test_isnet_matches_torch_replica():
     oracle, cfg, params = _oracle_pair()
     rng = np.random.default_rng(0)
@@ -188,6 +189,7 @@ def test_isnet_nonsquare_non_pow2():
     )
 
 
+@pytest.mark.heavy
 def test_rembg_segmenter_shapes_and_warn():
     from labelany3d_tpu.utils.logging import reset_warnings
 

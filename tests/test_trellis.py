@@ -91,6 +91,7 @@ def test_sparse_structure_and_occupancy():
     np.testing.assert_allclose(np.sort(picked), top_ref, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_slat_flow_model_masks_invalid():
     cfg = SLatConfig.tiny_test()
     model = SLatFlowModel(cfg)
@@ -106,6 +107,7 @@ def test_slat_flow_model_masks_invalid():
     assert (np.asarray(out)[0, 20:] == 0).all()
 
 
+@pytest.mark.heavy
 def test_slat_flow_batched_matches_per_element():
     """Batched SLat UNet with DIFFERENT per-element slot layouts must equal
     running each element alone (guards the vmapped coords/valid path)."""
@@ -126,6 +128,7 @@ def test_slat_flow_batched_matches_per_element():
         np.testing.assert_allclose(batched[b], single[0], atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_slat_torso_compaction_exact():
     """Slicing the torso to a bucket >= the true parent count must be
     EXACTLY the unsliced model (the pipeline picks the bucket from the
