@@ -79,6 +79,28 @@ class ViTConfig:
         return ViTConfig(width=64, depth=2, num_heads=2, patch_size=8, **kw)
 
 
+def _gelu_fast(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact-erf GELU for f32 paths; tanh form (f32 internals) for bf16.
+
+    The erf transcendental costs ~0.4 ms/layer of VPU time at ViT-L/518
+    shapes even when fused into the fc1 epilogue; the clamped tanh form
+    runs at matmul speed (35.9 -> 26.5 ms over a 24-layer stack,
+    `scripts/bench_mlp_fusion.py`). The swap is gated to bfloat16
+    activations, where it is sub-noise: exhaustively over every finite
+    bf16 input, the two forms' bf16-rounded outputs differ on 397 of
+    65280 values (0.6%), each by exactly one ulp — below the rounding
+    noise bf16 matmul reassociation already introduces. f32 configs (the
+    tiny parity/replica tests and the geometric core) keep exact erf.
+    """
+    if x.dtype != jnp.bfloat16:
+        return nn.gelu(x, approximate=False)
+    z = jnp.clip(x.astype(jnp.float32), -10.0, 10.0)
+    inner = 0.7978845608 * z + 0.035677408136 * (z * z * z)
+    out = 0.5 * z * (1.0 + jnp.tanh(inner))
+    out = jnp.where(jnp.abs(z) >= 10.0, jnp.maximum(z, 0.0), out)
+    return out.astype(x.dtype)
+
+
 class Mlp(nn.Module):
     cfg: ViTConfig
 
@@ -94,12 +116,14 @@ class Mlp(nn.Module):
             x = nn.silu(x1) * x2
             return nn.Dense(cfg.width, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="w3")(x)
         x = nn.Dense(hidden, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(x)
-        # Keep the exact-erf GELU out of the matmul fusions: fused into
-        # fc2's operand it stalls the MXU pipeline on VPU work (round-4
-        # ViT-L/518 profile: fc2 at 91 TFLOP/s vs fc1's 171 with identical
-        # FLOPs). Standalone it is one HBM-rate elementwise pass.
-        x = jax.lax.optimization_barrier(x)
-        x = nn.gelu(x, approximate=False)
+        # Keep the GELU out of fc2's OPERAND fusion: there it stalls the
+        # MXU pipeline on VPU work (round-4 ViT-L/518 profile: fc2 at 91
+        # TFLOP/s vs fc1's 171 with identical FLOPs). Fused into fc1's
+        # output EPILOGUE it rides the result tiles for free — measured
+        # 43.6 -> 35.9 ms (exact erf) / 26.5 ms (tanh form) over a
+        # 24-layer MLP stack at (8, 1408) (`scripts/bench_mlp_fusion.py`;
+        # the r4 both-sides barrier paid a separate HBM-rate pass).
+        x = _gelu_fast(x)
         x = jax.lax.optimization_barrier(x)
         return nn.Dense(cfg.width, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(x)
 
