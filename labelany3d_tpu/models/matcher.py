@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from labelany3d_tpu.models.vit import Mlp, ViT, ViTConfig
+from labelany3d_tpu.models.vit import Mlp, ViT, ViTConfig, _gelu_fast
 from labelany3d_tpu.ops.reciprocal_nn import MatchResult, reciprocal_nn_match
 from labelany3d_tpu.ops.rope2d import apply_rope_2d, rope_2d_freqs
 
@@ -173,6 +173,11 @@ def _resize_bilinear_ac(x: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
 
     y0, y1, fy = w1d(oh, h)
     x0, x1, fx = w1d(ow, w)
+    # Blend in the input dtype: f32 numpy weights would promote the whole
+    # (B, 2H, 2W, C) intermediate to f32 and the consumer conv's cast back
+    # was a 134 MB HBM pass on the matcher head profile (3.8 ms/orbit).
+    fy = fy.astype(np.dtype(x.dtype)) if x.dtype != np.float32 else fy
+    fx = fx.astype(np.dtype(x.dtype)) if x.dtype != np.float32 else fx
     r = x[:, y0] * (1 - fy)[None, :, None, None] + x[:, y1] * fy[None, :, None, None]
     r = r[:, :, x0] * (1 - fx)[None, None, :, None] + r[:, :, x1] * fx[None, None, :, None]
     return r
@@ -264,11 +269,17 @@ class CatMLPDPTHead(nn.Module):
         cat = jnp.concatenate([enc_tokens, dec_tokens], axis=-1)
         idim = cat.shape[-1]
         hcat = nn.Dense(4 * idim, dtype=dt, name="mlp_fc1")(cat)
-        feat = nn.Dense(n_out * p * p, dtype=jnp.float32, param_dtype=jnp.float32,
-                        name="mlp_fc2")(nn.gelu(hcat, approximate=False).astype(jnp.float32))
+        # fc2 + the pixel-shuffle run in the model dtype: the downstream
+        # consumer (reciprocal-NN scoring) casts descriptors to bf16 on the
+        # MXU anyway, and the descriptor is L2-normalized in f32 below. In
+        # hard f32 this dense was 9.4 ms/orbit on the matcher profile and
+        # the (B, gh, gw, n_out, p, p) shuffle layout pass another 4.3.
+        feat = nn.Dense(n_out * p * p, dtype=dt, param_dtype=jnp.float32,
+                        name="mlp_fc2")(_gelu_fast(hcat))
         # torch pixel_shuffle layout: channel = c*p^2 + dy*p + dx.
         feat = feat.reshape(b, gh, gw, n_out, p, p)
         feat = feat.transpose(0, 1, 4, 2, 5, 3).reshape(b, gh * p, gw * p, n_out)
+        feat = feat.astype(jnp.float32)
 
         if pts_conf.shape[1:3] != feat.shape[1:3]:
             pts_conf = jax.image.resize(

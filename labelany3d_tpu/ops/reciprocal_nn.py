@@ -34,6 +34,7 @@ def nn_argmax_tiled(
     inner_tiles: int = 8,
     precision: str = "bf16",
     interpret: bool = False,
+    n_real: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas argmax-NN: per query row, the best bank row by dot similarity.
 
@@ -69,13 +70,20 @@ def nn_argmax_tiled(
     from jax.experimental import pallas as pl
 
     s, c = query.shape
-    n, _ = bank.shape
+    n = n_real if n_real is not None else bank.shape[0]
     block_o = block_n * inner_tiles       # bank rows per grid step
     sp = -(-s // block_s) * block_s
     np_ = -(-n // block_o) * block_o
     cp = -(-c // 128) * 128  # full-lane contraction: degenerate K stalls MXU
     qp = jnp.pad(query, ((0, sp - s), (0, cp - c)))
-    bp = jnp.pad(bank, ((0, np_ - n), (0, cp - c)))
+    if n_real is None:
+        bp = jnp.pad(bank, ((0, np_ - n), (0, cp - c)))
+    else:
+        # Caller pre-padded the bank (pad_bank_for_nn) — loop callers hoist
+        # this 100+ MB HBM pass out of their iteration bodies (profiled at
+        # 6.6 ms per round on the 262k x 24 matcher bank).
+        assert bank.shape == (np_, cp), (bank.shape, np_, cp)
+        bp = bank
     if precision == "bf16x3":
         qh = qp.astype(jnp.bfloat16)
         ql = (qp - qh.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -160,10 +168,34 @@ def nn_argmax_tiled(
     return idx.reshape(-1)[:s], best.reshape(-1)[:s]
 
 
-def _argmax_nn(query: jnp.ndarray, bank: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Nearest bank row per query row by dot similarity; (S,), (S,)."""
+def pad_bank_for_nn(
+    bank: jnp.ndarray, block_n: int = 1024, inner_tiles: int = 8,
+) -> tuple[jnp.ndarray, int]:
+    """Pre-pad a bank to `nn_argmax_tiled`'s (row-block, 128-lane) layout.
+
+    Returns (padded_bank, n_real). Callers that query the same bank many
+    times (the reciprocal-NN rounds) pad once and pass `n_real` through —
+    the matcher profile showed the in-loop pad of the 262k x 24 descriptor
+    bank costing 6.6 ms (HBM) per round."""
+    n, c = bank.shape
+    block_o = block_n * inner_tiles
+    np_ = -(-n // block_o) * block_o
+    cp = -(-c // 128) * 128
+    return jnp.pad(bank, ((0, np_ - n), (0, cp - c))), n
+
+
+def _argmax_nn(
+    query: jnp.ndarray,
+    bank: jnp.ndarray,
+    n_real: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest bank row per query row by dot similarity; (S,), (S,).
+
+    `n_real` marks `bank` as pre-padded via `pad_bank_for_nn`."""
     if jax.default_backend() == "tpu":
-        return nn_argmax_tiled(query, bank)
+        return nn_argmax_tiled(query, bank, n_real=n_real)
+    if n_real is not None:
+        bank = bank[:n_real, : query.shape[1]]
     sim = jnp.einsum(
         "sc,nc->sn", query, bank, precision=jax.lax.Precision.HIGHEST
     )
@@ -211,9 +243,15 @@ def reciprocal_nn_match(
     idx0 = (gy * w0 + gx).reshape(-1)  # (S,)
     s = idx0.shape[0]
 
+    # Pad both banks ONCE — every NN round queries the same two banks, and
+    # the (N, 24) -> (N_pad, 128) pad is a 100+ MB HBM pass that the scan
+    # body would otherwise repeat (profiled: 6.6 ms x 2 banks x rounds).
+    d0p, n0 = pad_bank_for_nn(d0)
+    d1p, n1 = pad_bank_for_nn(d1)
+
     # Round 1: every query.
-    idx1, score = _argmax_nn(d0[idx0], d1)
-    back0, _ = _argmax_nn(d1[idx1], d0)
+    idx1, score = _argmax_nn(d0[idx0], d1p, n_real=n1)
+    back0, _ = _argmax_nn(d1[idx1], d0p, n_real=n0)
     frozen = back0 == idx0
     cur0 = jnp.where(frozen, idx0, back0)
 
@@ -223,8 +261,8 @@ def reciprocal_nn_match(
         cur0, idx1, score, frozen = carry
         sel = jnp.argsort(frozen, stable=True)[:sub_s]  # live queries first
         qidx = cur0[sel]
-        idx1_s, score_s = _argmax_nn(d0[qidx], d1)
-        back0_s, _ = _argmax_nn(d1[idx1_s], d0)
+        idx1_s, score_s = _argmax_nn(d0[qidx], d1p, n_real=n1)
+        back0_s, _ = _argmax_nn(d1[idx1_s], d0p, n_real=n0)
         conv = back0_s == qidx
         act = ~frozen[sel]
         cur0 = cur0.at[sel].set(jnp.where(act & ~conv, back0_s, qidx))
