@@ -158,29 +158,40 @@ class MatcherHead(nn.Module):
         return pts, conf, desc
 
 
-def _resize_bilinear_ac(x: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
-    """Bilinear resize with torch align_corners=True semantics (the DPT
-    blocks' interpolation mode; jax.image.resize is half-pixel only)."""
+def _ac_resize_matrix(in_size: int, out_size: int):
+    """Align-corners bilinear taps as a static two-banded (out, in) matrix
+    (torch `align_corners=True`; jax.image.resize is half-pixel only).
+    Rows sum to 1; coincident taps (exact-integer positions) merge."""
     import numpy as np
 
-    b, h, w, c = x.shape
+    pos = (np.arange(out_size) * ((in_size - 1) / (out_size - 1))
+           if out_size > 1 else np.zeros(out_size))
+    i0 = np.floor(pos).astype(np.int32)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    f = (pos - i0).astype(np.float32)
+    g = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(g, (rows, i0), 1 - f)
+    np.add.at(g, (rows, i1), f)
+    return g
 
-    def w1d(o, n):
-        pos = np.arange(o) * ((n - 1) / (o - 1)) if o > 1 else np.zeros(o)
-        i0 = np.floor(pos).astype(np.int32)
-        i1 = np.minimum(i0 + 1, n - 1)
-        return i0, i1, (pos - i0).astype(np.float32)
 
-    y0, y1, fy = w1d(oh, h)
-    x0, x1, fx = w1d(ow, w)
-    # Blend in the input dtype: f32 numpy weights would promote the whole
-    # (B, 2H, 2W, C) intermediate to f32 and the consumer conv's cast back
-    # was a 134 MB HBM pass on the matcher head profile (3.8 ms/orbit).
-    fy = fy.astype(np.dtype(x.dtype)) if x.dtype != np.float32 else fy
-    fx = fx.astype(np.dtype(x.dtype)) if x.dtype != np.float32 else fx
-    r = x[:, y0] * (1 - fy)[None, :, None, None] + x[:, y1] * fy[None, :, None, None]
-    r = r[:, :, x0] * (1 - fx)[None, None, :, None] + r[:, :, x1] * fx[None, None, :, None]
-    return r
+def _resize_bilinear_ac(x: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
+    """Bilinear resize (align_corners=True) as two separable CONTRACTIONS
+    against static two-banded tap matrices, not gather+blend chains: the
+    gather form was 14.3 ms/orbit of HBM-bound time on the round-5 matcher
+    profile (`head1/gather` 9.8 + `refine1/gather` 4.5 — gathers don't
+    stream), while the matmul form is ~0.2 TFLOP of MXU work per orbit
+    plus one streamed write per pass. Each output row is the same two-term
+    convex blend (the other in_size-2 products are exact zeros),
+    f32-accumulated on the MXU. Same trick as MoGe's
+    `_resize_bilinear_pad` (models/moge.py:238)."""
+    gh = jnp.asarray(_ac_resize_matrix(x.shape[1], oh), x.dtype)
+    gw = jnp.asarray(_ac_resize_matrix(x.shape[2], ow), x.dtype)
+    t = jnp.einsum("oh,bhwc->bowc", gh, x,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.einsum("ow,bhwc->bhoc", gw, t,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 class _ResConvUnit(nn.Module):
@@ -279,23 +290,30 @@ class CatMLPDPTHead(nn.Module):
         # torch pixel_shuffle layout: channel = c*p^2 + dy*p + dx.
         feat = feat.reshape(b, gh, gw, n_out, p, p)
         feat = feat.transpose(0, 1, 4, 2, 5, 3).reshape(b, gh * p, gw * p, n_out)
-        feat = feat.astype(jnp.float32)
 
         if pts_conf.shape[1:3] != feat.shape[1:3]:
             pts_conf = jax.image.resize(
                 pts_conf, (b, feat.shape[1], feat.shape[2], 4), method="bilinear")
-        fmap = jnp.concatenate([pts_conf.astype(jnp.float32), feat], axis=-1)
+        pts_conf = pts_conf.astype(jnp.float32)
 
         # postprocess (catmlp_dpt_head.py:27-42): exp point mode, exp confs,
-        # L2-normalized descriptors.
-        xyz = fmap[..., 0:3]
+        # L2-normalized descriptors. The two branches stay SEPARATE — the
+        # old `concatenate([pts_conf, feat.astype(f32)])` materialized a
+        # full-res f32 fmap (the convert alone was 8.6 ms/orbit on the r5
+        # profile); normalizing straight off the bf16 shuffle output fuses
+        # the f32 cast into the normalize's output write instead.
+        xyz = pts_conf[..., 0:3]
         d = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
         pts = xyz / jnp.maximum(d, 1e-8) * jnp.expm1(d)
-        conf = cfg.conf_vmin + jnp.exp(fmap[..., 3])
-        desc = fmap[..., 4:4 + cfg.desc_dim]
-        desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
+        conf = cfg.conf_vmin + jnp.exp(pts_conf[..., 3])
+        desc_raw = feat[..., : cfg.desc_dim]
+        sq = jnp.einsum("...c,...c->...", desc_raw, desc_raw,
+                        preferred_element_type=jnp.float32)[..., None]
+        desc = desc_raw.astype(jnp.float32) * jax.lax.rsqrt(
+            jnp.maximum(sq, 1e-16))
         if cfg.two_confs:
-            desc_conf = cfg.desc_conf_vmin + jnp.exp(fmap[..., 4 + cfg.desc_dim])
+            desc_conf = cfg.desc_conf_vmin + jnp.exp(
+                feat[..., cfg.desc_dim].astype(jnp.float32))
         else:
             desc_conf = conf
         return pts, conf, desc, desc_conf
