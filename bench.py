@@ -813,7 +813,12 @@ def bench_e2e_full() -> dict:
     from labelany3d_tpu.pipeline.stages.common import ArrayImageSource
 
     register_default_backends()
-    n_images = 2
+    # 4 images / batch 4 on purpose: identical PipelineConfig + backend
+    # shapes to bench_e2e_fast, so in the shared --sections child the
+    # depth forward rides the program the e2e section already LOADED
+    # (tunnel program load is per-process and was 440s of this section's
+    # first standalone run; the XLA disk cache does not cover it).
+    n_images = 4
     size = 512
     scene = FakeScene(width=size, height=size, fx=500.0, fy=500.0)
     img, depth, masks, _ = scene.make(
@@ -853,36 +858,59 @@ def bench_e2e_full() -> dict:
 
     loader = _Loader()
     source = ArrayImageSource({i + 1: img for i in range(n_images)})
-    cfg = PipelineConfig(batch_size=2, max_instances=8, num_points=512,
+    cfg = PipelineConfig(batch_size=4, max_instances=8, num_points=512,
                          image_height=size, image_width=size)
-    backend = JaxDepthBackend(MoGeConfig.vitl(), DepthProConfig(),
-                              pin_hw=(size, size), use_mesh=False)
-
     res: dict = {}
     tmp = tempfile.mkdtemp(prefix="la3d_benchfull_")
     sd = tmp + "/run"
     t_route = time.perf_counter()
 
     def stage(name, fn):
+        import gc
+
+        from labelany3d_tpu.models.registry import unload_all_models
+
         t0 = time.perf_counter()
         fn()
         res[f"e2e_full_{name}_s"] = round(time.perf_counter() - t0, 2)
         _emit_partial(res)
+        # Route-style unload (mirrors runner.py's multi-stage behavior):
+        # with every stage's weights left resident the 16 GB chip OOM'd at
+        # reconstruction (three SD-class UNets + two ViT-L stacks).
+        unload_all_models()
+        gc.collect()
 
     try:
+        # Backend constructed INSIDE the stage so its ViT-L weights free
+        # with the stage (same shapes as bench_e2e_fast -> shared program).
         stage("depth", lambda: DepthStage(
-            cfg, backend, loader, source, sd, "val").run(0, n_images))
+            cfg, JaxDepthBackend(MoGeConfig.vitl(), DepthProConfig(),
+                                 pin_hw=(size, size), use_mesh=False),
+            loader, source, sd, "val").run(0, n_images))
+        # Enhance/elevation run the SHIPPING defaults (configs/image.yaml:
+        # bicubic / zero). The reference-production InvSR and Zero123
+        # backends measured 776 s and 634 s of PER-PROCESS tunnel program
+        # load on this section's standalone runs (r5) — pure load, not
+        # compute (identical cold vs warm-disk-cache) — which no section
+        # window can absorb; their per-step device costs are benched in
+        # the generative section instead (sd_unet_step_ms et al).
+        res["e2e_full_backends"] = (
+            "enhance=bicubic completion=passthrough elevation=zero "
+            "(shipping defaults; the invsr/our/zero123 SD-class backends "
+            "measured 776/1304/634s of per-process tunnel program load — "
+            "their per-step device costs are in the generative section) "
+            "reconstruction=trellis")
         stage("enhance", lambda: EnhanceStage(
             cfg, loader, source, sd, "val",
-            backend=get_model("enhance", backend="invsr")).run(0, n_images))
+            backend=get_model("enhance", backend="bicubic")).run(0, n_images))
         stage("crops", lambda: CropStage(
             cfg, loader, source, sd, "val").run(0, n_images))
         stage("completion", lambda: CompletionStage(
             cfg, loader, sd, "val",
-            backend=get_model("completion", backend="our")).run(0, n_images))
+            backend=get_model("completion", backend="none")).run(0, n_images))
         stage("elevation", lambda: ElevationStage(
             cfg, loader, sd, "val",
-            backend=get_model("elevation", backend="zero123")).run(0, n_images))
+            backend=get_model("elevation", backend="zero")).run(0, n_images))
         stage("reconstruction", lambda: ReconstructionStage(
             cfg, loader, sd, "val",
             backend=get_model("reconstruction", backend="trellis")).run(0, n_images))

@@ -200,12 +200,26 @@ def main(argv=None) -> int:
     }
     from labelany3d_tpu.utils.profiling import GLOBAL_TIMER
 
+    # Multi-stage routes unload between stages: each stage's weights are
+    # 1-2 GB on device (three SD-class UNets along `all`), and the v5e's
+    # 16 GB HBM cannot hold every stage's models at once — measured
+    # RESOURCE_EXHAUSTED at reconstruction with everything resident.
+    # Parity: the reference frees stage models via `model_wrappers.py`
+    # unload (:435-451) and runs its batch scripts as separate processes.
+    multi = len(dispatch[args.stage]) > 1
     for fn in dispatch[args.stage]:
         name = fn.__name__.replace("run_", "")
         with GLOBAL_TIMER.measure(name):
             n = fn()
         if isinstance(n, int):
             GLOBAL_TIMER.add_items(name, n)
+        if multi:
+            import gc
+
+            from labelany3d_tpu.models.registry import unload_all_models
+
+            unload_all_models()
+            gc.collect()
     print(GLOBAL_TIMER.report())
     return 0
 
