@@ -104,8 +104,14 @@ class TrellisPipeline:
     }
 
     def __init__(self, cfg: TrellisPipelineConfig | None = None, seed: int = 0,
-                 ckpt_dir: str | None = None):
+                 ckpt_dir: str | None = None, params_dtype: str | None = None):
         self.cfg = cfg or TrellisPipelineConfig()
+        # Serving precision for the HELD weights (compute dtype is set per
+        # model). The six components are 6.37 GiB in f32 on a 16 GB v5e —
+        # with program scratch that OOM'd `sample_slat` in production;
+        # bf16 holds them at 3.2 GiB. None keeps init dtypes (tests).
+        self._params_dtype = jnp.bfloat16 if params_dtype in (
+            "bfloat16", "bf16") else None
         c = self.cfg
         self.cond_model = ViT(c.cond_backbone)
         self.ss_model = SparseStructureFlowModel(c.structure)
@@ -155,15 +161,21 @@ class TrellisPipeline:
         coords = jnp.zeros((1, n, 3), jnp.int32)
         valid = jnp.ones((1, n), bool)
         converted = self._load_converted()
+        # Each init runs as ONE jitted program: the eager form dispatched
+        # every param tensor (and every forward intermediate of the init
+        # trace) as its own device op — 693 s over the tunnel and
+        # thousands of small HBM buffers whose fragmentation contributed
+        # to the production sample_slat OOM. Values are identical.
         inits = {
-            "cond": lambda: self.cond_model.init(ks[0], img)["params"],
-            "ss": lambda: self.ss_model.init(ks[1], latent, t, cond_tokens)["params"],
-            "ss_dec": lambda: self.ss_decoder.init(ks[2], latent)["params"],
-            "slat": lambda: self.slat_model.init(
+            "cond": lambda: jax.jit(self.cond_model.init)(ks[0], img)["params"],
+            "ss": lambda: jax.jit(self.ss_model.init)(
+                ks[1], latent, t, cond_tokens)["params"],
+            "ss_dec": lambda: jax.jit(self.ss_decoder.init)(ks[2], latent)["params"],
+            "slat": lambda: jax.jit(self.slat_model.init)(
                 ks[3], feats, coords, valid, t, cond_tokens)["params"],
-            "gs": lambda: self.gs_decoder.init(
+            "gs": lambda: jax.jit(self.gs_decoder.init)(
                 ks[4], feats[0], coords[0], valid[0])["params"],
-            "mesh": lambda: self.mesh_decoder.init(
+            "mesh": lambda: jax.jit(self.mesh_decoder.init)(
                 ks[5], feats[0], coords[0], valid[0])["params"],
         }
         missing = [k for k in inits if k not in converted]
@@ -186,6 +198,11 @@ class TrellisPipeline:
                 "meaningful; see docs/WEIGHTS.md",
             )
         self.params = {k: converted.get(k) or fn() for k, fn in inits.items()}
+        if self._params_dtype is not None:
+            cast = jax.jit(lambda t: jax.tree.map(
+                lambda l: l.astype(self._params_dtype)
+                if l.dtype == jnp.float32 else l, t))
+            self.params = {k: cast(v) for k, v in self.params.items()}
         return self.params
 
     # -- stages -----------------------------------------------------------

@@ -403,7 +403,11 @@ def register_default_backends() -> None:
             from labelany3d_tpu.models.trellis import TrellisPipeline, TrellisPipelineConfig
 
             cfg = TrellisPipelineConfig.tiny_test() if kw.get("tiny") else None
-            return TrellisPipeline(cfg, ckpt_dir=kw.get("ckpt_dir"))
+            # bf16 weight serving: the six components are 6.37 GiB in f32,
+            # which with slat-program scratch OOM'd the 16 GB v5e.
+            return TrellisPipeline(cfg, ckpt_dir=kw.get("ckpt_dir"),
+                                   params_dtype=None if kw.get("tiny")
+                                   else "bfloat16")
         if backend == "hunyuan3d":
             from labelany3d_tpu.models.svrm import SVRMConfig, SVRMReconstruction
 
