@@ -536,32 +536,11 @@ def bench_e2e_fast() -> dict:
         res["e2e_fused_write_s"] = round(fstage.stats["write_s"], 2)
         _emit_partial(res)
 
-        # Secondary (gated on section elapsed — program loads dominate on a
-        # slow tunnel): the resumable stage chain with the per-phase
-        # breakdown (round-2 verdict: the shard was timed as one block;
-        # nothing said where the wall clock went).
-        if time.perf_counter() - t_sect < 240.0:
-            DepthStage(cfg, backend, loader, source, tmp + "/warm", "val").run(0, min(4, n_images))
-            BoxStage(cfg, loader, tmp + "/warm", "val").run(0, min(4, n_images))
-            t0 = time.perf_counter()
-            DepthStage(cfg, backend, loader, source, tmp + "/run", "val").run(0, n_images)
-            t1 = time.perf_counter()
-            BoxStage(cfg, loader, tmp + "/run", "val").run(0, n_images)
-            t2 = time.perf_counter()
-            ExportStage(tmp + "/run", "val").run()
-            t3 = time.perf_counter()
-            res["e2e_stagechain_images_per_sec"] = round(n_images / (t3 - t0), 2)
-            res["e2e_depth_stage_s"] = round(t1 - t0, 2)
-            res["e2e_box_stage_s"] = round(t2 - t1, 2)
-            res["e2e_export_s"] = round(t3 - t2, 2)
-            _emit_partial(res)
-        else:
-            res["e2e_stagechain_skipped"] = (
-                f"section elapsed {time.perf_counter() - t_sect:.0f}s")
-
         # Depth forward alone (device roofline of the same shard): the
-        # backend program over the same batches, accumulator-chained.
-        if time.perf_counter() - t_sect < 330.0:
+        # backend program over the same batches, accumulator-chained. Runs
+        # BEFORE the stage chain — it rides the already-warm forward (~2 s)
+        # so it should land even when the chain's gate doesn't.
+        if time.perf_counter() - t_sect < 390.0:
             import jax.numpy as jnp
 
             batch = np.stack([img] * cfg.batch_size)  # uint8; device-normalized
@@ -576,9 +555,37 @@ def bench_e2e_fast() -> dict:
                 acc = acc + out["relative_depth"].sum()
             float(acc)
             res["e2e_depth_forward_s"] = round(time.perf_counter() - tf, 2)
-            if "e2e_depth_stage_s" in res:
+            _emit_partial(res)
+
+        # Secondary (gated on section elapsed — program loads dominate on a
+        # slow tunnel): the resumable stage chain with the per-phase
+        # breakdown (round-2 verdict: the shard was timed as one block;
+        # nothing said where the wall clock went). Gate 420: the primary's
+        # warm pass alone takes ~380 s of program loads on a healthy
+        # tunnel (r5 record), so the old 240 gate could never pass; the
+        # chain itself adds ~150 s (label/fusion program loads) which the
+        # shared-child budget covers.
+        if time.perf_counter() - t_sect < 420.0:
+            DepthStage(cfg, backend, loader, source, tmp + "/warm", "val").run(0, min(4, n_images))
+            BoxStage(cfg, loader, tmp + "/warm", "val").run(0, min(4, n_images))
+            t0 = time.perf_counter()
+            DepthStage(cfg, backend, loader, source, tmp + "/run", "val").run(0, n_images)
+            t1 = time.perf_counter()
+            BoxStage(cfg, loader, tmp + "/run", "val").run(0, n_images)
+            t2 = time.perf_counter()
+            ExportStage(tmp + "/run", "val").run()
+            t3 = time.perf_counter()
+            res["e2e_stagechain_images_per_sec"] = round(n_images / (t3 - t0), 2)
+            res["e2e_depth_stage_s"] = round(t1 - t0, 2)
+            res["e2e_box_stage_s"] = round(t2 - t1, 2)
+            res["e2e_export_s"] = round(t3 - t2, 2)
+            if "e2e_depth_forward_s" in res:
                 res["e2e_host_overhead_s"] = round(
                     res["e2e_depth_stage_s"] - res["e2e_depth_forward_s"], 2)
+            _emit_partial(res)
+        else:
+            res["e2e_stagechain_skipped"] = (
+                f"section elapsed {time.perf_counter() - t_sect:.0f}s")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return res
