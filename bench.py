@@ -869,62 +869,74 @@ def bench_e2e_full() -> dict:
                          image_height=size, image_width=size)
     res: dict = {}
     tmp = tempfile.mkdtemp(prefix="la3d_benchfull_")
-    sd = tmp + "/run"
-    t_route = time.perf_counter()
 
-    def stage(name, fn):
+    def stage(name, fn, prefix=""):
         import gc
 
         from labelany3d_tpu.models.registry import unload_all_models
 
         t0 = time.perf_counter()
         fn()
-        res[f"e2e_full_{name}_s"] = round(time.perf_counter() - t0, 2)
+        res[f"e2e_full_{prefix}{name}_s"] = round(time.perf_counter() - t0, 2)
         _emit_partial(res)
-        # Route-style unload (mirrors runner.py's multi-stage behavior):
-        # with every stage's weights left resident the 16 GB chip OOM'd at
-        # reconstruction (three SD-class UNets + two ViT-L stacks).
+        # Route-style unload (mirrors runner.py): even with the shipping
+        # default backends + in-init bf16 casting, keeping the depth
+        # stack resident OOM'd TRELLIS's sample_slat on the 16 GB chip
+        # (retested r5) — the per-stage unload is load-bearing.
         unload_all_models()
         gc.collect()
+    # Enhance/elevation run the SHIPPING defaults (configs/image.yaml:
+    # bicubic / zero). The reference-production InvSR and Zero123
+    # backends measured 776 s and 634 s of PER-PROCESS tunnel program
+    # load on this section's standalone runs (r5) — pure load, not
+    # compute (identical cold vs warm-disk-cache) — which no section
+    # window can absorb; their per-step device costs are benched in
+    # the generative section instead (sd_unet_step_ms et al).
+    res["e2e_full_backends"] = (
+        "enhance=bicubic completion=passthrough elevation=zero "
+        "(shipping defaults; the invsr/our/zero123 SD-class backends "
+        "measured 776/1304/634s of per-process tunnel program load — "
+        "their per-step device costs are in the generative section) "
+        "reconstruction=trellis")
 
-    try:
+    def route(sd, prefix=""):
         # Backend constructed INSIDE the stage so its ViT-L weights free
         # with the stage (same shapes as bench_e2e_fast -> shared program).
         stage("depth", lambda: DepthStage(
             cfg, JaxDepthBackend(MoGeConfig.vitl(), DepthProConfig(),
                                  pin_hw=(size, size), use_mesh=False),
-            loader, source, sd, "val").run(0, n_images))
-        # Enhance/elevation run the SHIPPING defaults (configs/image.yaml:
-        # bicubic / zero). The reference-production InvSR and Zero123
-        # backends measured 776 s and 634 s of PER-PROCESS tunnel program
-        # load on this section's standalone runs (r5) — pure load, not
-        # compute (identical cold vs warm-disk-cache) — which no section
-        # window can absorb; their per-step device costs are benched in
-        # the generative section instead (sd_unet_step_ms et al).
-        res["e2e_full_backends"] = (
-            "enhance=bicubic completion=passthrough elevation=zero "
-            "(shipping defaults; the invsr/our/zero123 SD-class backends "
-            "measured 776/1304/634s of per-process tunnel program load — "
-            "their per-step device costs are in the generative section) "
-            "reconstruction=trellis")
+            loader, source, sd, "val").run(0, n_images),
+            prefix)
         stage("enhance", lambda: EnhanceStage(
             cfg, loader, source, sd, "val",
-            backend=get_model("enhance", backend="bicubic")).run(0, n_images))
+            backend=get_model("enhance", backend="bicubic")).run(0, n_images),
+            prefix)
         stage("crops", lambda: CropStage(
-            cfg, loader, source, sd, "val").run(0, n_images))
+            cfg, loader, source, sd, "val").run(0, n_images), prefix)
         stage("completion", lambda: CompletionStage(
             cfg, loader, sd, "val",
-            backend=get_model("completion", backend="none")).run(0, n_images))
+            backend=get_model("completion", backend="none")).run(0, n_images),
+            prefix)
         stage("elevation", lambda: ElevationStage(
             cfg, loader, sd, "val",
-            backend=get_model("elevation", backend="zero")).run(0, n_images))
+            backend=get_model("elevation", backend="zero")).run(0, n_images),
+            prefix)
         stage("reconstruction", lambda: ReconstructionStage(
             cfg, loader, sd, "val",
-            backend=get_model("reconstruction", backend="trellis")).run(0, n_images))
+            backend=get_model("reconstruction", backend="trellis")).run(0, n_images),
+            prefix)
         stage("layout", lambda: LayoutStage(
             cfg, loader, sd, "val",
-            matcher=get_model("matcher")).run(0, n_images))
-        stage("export", lambda: ExportStage(sd, "val").run())
+            matcher=get_model("matcher")).run(0, n_images), prefix)
+        stage("export", lambda: ExportStage(sd, "val").run(), prefix)
+
+    try:
+        t_route = time.perf_counter()
+        try:
+            route(tmp + "/run")
+        except Exception as e:  # noqa: BLE001 — keep completed stage splits
+            res["e2e_full_route_error"] = f"{type(e).__name__}: {e}"[:160]
+            return res
         total = time.perf_counter() - t_route
         res["e2e_full_images_per_sec"] = round(n_images / total, 3)
         res["e2e_full_objects_per_sec"] = round(n_objects / total, 3)
@@ -938,6 +950,12 @@ def bench_e2e_full() -> dict:
         res["e2e_full_dominant_stage"] = (
             f"{top.removeprefix('e2e_full_').removesuffix('_s')} "
             f"({100 * shares[top] / max(total, 1e-9):.0f}%)")
+        _emit_partial(res)
+        # (A warm second route pass was tried for a steady-state number:
+        # with models resident it OOMs — see the stage() note — and with
+        # per-stage unloads it would re-pay every weight init, measuring
+        # nothing useful. Steady-state per-stage costs are derivable from
+        # the depth/registration/generative sections instead.)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return res

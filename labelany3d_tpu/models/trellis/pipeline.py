@@ -165,18 +165,33 @@ class TrellisPipeline:
         # every param tensor (and every forward intermediate of the init
         # trace) as its own device op — 693 s over the tunnel and
         # thousands of small HBM buffers whose fragmentation contributed
-        # to the production sample_slat OOM. Values are identical.
+        # to the production sample_slat OOM. Values are identical. The
+        # serving-dtype cast happens INSIDE the init program, so the f32
+        # tree never materializes in HBM (all six at once would be
+        # 6.37 GiB transient — enough to OOM when other stage models are
+        # resident).
+        def _cast_tree(tree):
+            if self._params_dtype is None:
+                return tree
+            return jax.tree.map(
+                lambda l: l.astype(self._params_dtype)
+                if l.dtype == jnp.float32 else l, tree)
+
+        def _jit_init(fn, *args):
+            return jax.jit(
+                lambda *a: _cast_tree(fn(*a)["params"]))(*args)
+
         inits = {
-            "cond": lambda: jax.jit(self.cond_model.init)(ks[0], img)["params"],
-            "ss": lambda: jax.jit(self.ss_model.init)(
-                ks[1], latent, t, cond_tokens)["params"],
-            "ss_dec": lambda: jax.jit(self.ss_decoder.init)(ks[2], latent)["params"],
-            "slat": lambda: jax.jit(self.slat_model.init)(
-                ks[3], feats, coords, valid, t, cond_tokens)["params"],
-            "gs": lambda: jax.jit(self.gs_decoder.init)(
-                ks[4], feats[0], coords[0], valid[0])["params"],
-            "mesh": lambda: jax.jit(self.mesh_decoder.init)(
-                ks[5], feats[0], coords[0], valid[0])["params"],
+            "cond": lambda: _jit_init(self.cond_model.init, ks[0], img),
+            "ss": lambda: _jit_init(self.ss_model.init,
+                                    ks[1], latent, t, cond_tokens),
+            "ss_dec": lambda: _jit_init(self.ss_decoder.init, ks[2], latent),
+            "slat": lambda: _jit_init(self.slat_model.init,
+                                      ks[3], feats, coords, valid, t, cond_tokens),
+            "gs": lambda: _jit_init(self.gs_decoder.init,
+                                    ks[4], feats[0], coords[0], valid[0]),
+            "mesh": lambda: _jit_init(self.mesh_decoder.init,
+                                      ks[5], feats[0], coords[0], valid[0]),
         }
         missing = [k for k in inits if k not in converted]
         if missing and self._ckpt_dir:
@@ -197,12 +212,16 @@ class TrellisPipeline:
                 "checkpoint dir passed) — generated meshes are not "
                 "meaningful; see docs/WEIGHTS.md",
             )
-        self.params = {k: converted.get(k) or fn() for k, fn in inits.items()}
-        if self._params_dtype is not None:
-            cast = jax.jit(lambda t: jax.tree.map(
-                lambda l: l.astype(self._params_dtype)
-                if l.dtype == jnp.float32 else l, t))
-            self.params = {k: cast(v) for k, v in self.params.items()}
+        # Converted checkpoints load as f32 from disk; cast those (random
+        # inits are already cast inside their init programs above).
+        def _entry(k, fn):
+            if k not in converted:
+                return fn()
+            if self._params_dtype is None:
+                return converted[k]
+            return jax.jit(_cast_tree)(converted[k])
+
+        self.params = {k: _entry(k, fn) for k, fn in inits.items()}
         return self.params
 
     # -- stages -----------------------------------------------------------
